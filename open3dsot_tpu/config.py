@@ -1,0 +1,130 @@
+"""Flat YAML config system.
+
+Preserves the reference's config-API: flat key/value YAML files, one per
+(model, dataset) pair, attribute access on the loaded object, CLI overrides
+win over YAML (cf. /root/reference/main.py:23-49). Unlike the reference we
+make the implicit `getattr(config, key, default)` defaults explicit in
+`DEFAULTS`, validate the handful of enum-ish keys, and keep everything a
+plain python object (no easydict dependency).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict, Optional
+
+import yaml
+
+
+# Defaults the reference scatters through the code via getattr(..., default).
+DEFAULTS: Dict[str, Any] = {
+    # data
+    "category_name": "Car",
+    "coordinate_mode": "velodyne",
+    "up_axis": [0, 0, 1],
+    "preload_offset": -1,
+    "preloading": True,
+    "num_candidates": 1,
+    "use_augmentation": False,
+    "random_sample": False,
+    "sample_per_epoch": 10000,
+    "data_limit_box": True,
+    "degrees": True,
+    "key_frame_only": False,
+    "min_points": 1,
+    "tiny": False,
+    "version": "v1.0-trainval",
+    # model
+    "box_aware": False,
+    "use_fps": False,
+    "normalize_xyz": False,
+    "use_motion_cls": True,
+    "use_second_stage": True,
+    "use_prev_refinement": True,
+    "use_search_bc": False,
+    "use_search_feature": False,
+    "bc_channel": 9,
+    "k": 4,
+    # test
+    "reference_BB": "previous_result",
+    "shape_aggregation": "firstandprevious",
+    "use_z": False,
+    "limit_box": True,
+    "IoU_space": 3,
+    # training
+    "batch_size": 64,
+    "workers": 0,
+    "epoch": 60,
+    "lr": 1e-3,
+    "optimizer": "Adam",
+    "lr_decay_step": 20,
+    "lr_decay_rate": 0.1,
+    "wd": 0.0,
+    "gradient_clip_val": 0.0,
+    "check_val_every_n_epoch": 1,
+    "log_dir": "./runs",
+    "seed": 42,
+    # parallelism (new, TPU-native)
+    "mesh_shape": None,  # None -> all local devices on one 'data' axis
+    "bf16": False,
+}
+
+
+class Config:
+    """Attribute-accessible flat config (our easydict replacement)."""
+
+    def __init__(self, d: Optional[Dict[str, Any]] = None, **kwargs):
+        merged = dict(d or {})
+        merged.update(kwargs)
+        for k, v in merged.items():
+            setattr(self, k, v)
+
+    def __contains__(self, key):
+        return hasattr(self, key)
+
+    def get(self, key, default=None):
+        return getattr(self, key, default)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {k: v for k, v in self.__dict__.items()}
+
+    def copy(self) -> "Config":
+        return Config(copy.deepcopy(self.to_dict()))
+
+    def __repr__(self):
+        items = ", ".join(f"{k}={v!r}" for k, v in sorted(self.__dict__.items()))
+        return f"Config({items})"
+
+
+def load_yaml(path: str) -> Dict[str, Any]:
+    with open(path, "r") as f:
+        return yaml.load(f, Loader=yaml.FullLoader)
+
+
+def make_config(yaml_dict: Dict[str, Any], overrides: Optional[Dict[str, Any]] = None) -> Config:
+    """Defaults < YAML < CLI overrides (matching reference merge order)."""
+    cfg = dict(DEFAULTS)
+    cfg.update({k: v for k, v in (yaml_dict or {}).items() if v is not None})
+    if overrides:
+        cfg.update({k: v for k, v in overrides.items() if v is not None})
+    validate(cfg)
+    return Config(cfg)
+
+
+def load_config(path: str, overrides: Optional[Dict[str, Any]] = None) -> Config:
+    return make_config(load_yaml(path), overrides)
+
+
+_ENUMS = {
+    "coordinate_mode": {"velodyne", "camera"},
+    "train_type": {"train_siamese", "train_motion"},
+}
+
+
+def validate(cfg: Dict[str, Any]) -> None:
+    for key, allowed in _ENUMS.items():
+        if key in cfg and cfg[key] is not None and cfg[key] not in allowed:
+            raise ValueError(f"config.{key}={cfg[key]!r} not in {sorted(allowed)}")
+    if "net_model" in cfg and cfg["net_model"] is not None:
+        if cfg["net_model"].lower() not in {"p2b", "bat", "m2track"}:
+            raise ValueError(f"unknown net_model {cfg['net_model']!r}")
