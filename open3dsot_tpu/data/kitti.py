@@ -1,0 +1,180 @@
+"""KITTI-tracking SOT dataset (host IO).
+
+Functional parity with /root/reference/datasets/kitti.py: scene splits
+(train 0000-0016, valid 0017-0018, test 0019-0020, TINY variants), per-category
+tracklet extraction from label_02 CSVs, Tr_velo_cam calibration,
+camera/velodyne coordinate modes, per-frame velodyne cache, optional
+preload-crop, whole-split pickle preload cache, and the missing-frame
+single-zero-point fallback (kitti.py:182-187).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+
+from open3dsot_tpu.data.base import BaseDataset
+from open3dsot_tpu.geometry import Box, PointCloud, Quaternion
+from open3dsot_tpu.geometry import points_utils
+
+
+class KittiDataset(BaseDataset):
+    def __init__(self, path, split, category_name="Car", **kwargs):
+        super().__init__(path, split, category_name, **kwargs)
+        self.KITTI_Folder = path
+        self.KITTI_velo = os.path.join(path, "velodyne")
+        self.KITTI_label = os.path.join(path, "label_02")
+        self.KITTI_calib = os.path.join(path, "calib")
+        self.scene_list = self._build_scene_list(split)
+        self.velos = defaultdict(dict)
+        self.calibs = {}
+        self.coordinate_mode = kwargs.get("coordinate_mode", "velodyne")
+        self.preload_offset = kwargs.get("preload_offset", -1)
+        self.tracklet_anno_list, self.tracklet_len_list = self._build_tracklet_anno()
+        if self.preloading:
+            self.training_samples = self._load_data()
+
+    @staticmethod
+    def _build_scene_list(split):
+        split_u = split.upper()
+        if "TRAIN" in split_u:
+            scene_names = [0] if "TINY" in split_u else list(range(0, 17))
+        elif "VALID" in split_u:
+            scene_names = [18] if "TINY" in split_u else list(range(17, 19))
+        elif "TEST" in split_u:
+            scene_names = [19] if "TINY" in split_u else list(range(19, 21))
+        else:
+            scene_names = list(range(21))
+        return ["%04d" % s for s in scene_names]
+
+    def _load_data(self):
+        preload_path = os.path.join(
+            self.KITTI_Folder,
+            f"preload_kitti_{self.category_name}_{self.split}_"
+            f"{self.coordinate_mode}_{self.preload_offset}.dat",
+        )
+        if os.path.isfile(preload_path):
+            with open(preload_path, "rb") as f:
+                return pickle.load(f)
+        training_samples = []
+        for annos in self.tracklet_anno_list:
+            training_samples.append([self._get_frame_from_anno(a) for a in annos])
+        try:
+            with open(preload_path, "wb") as f:
+                pickle.dump(training_samples, f)
+        except OSError:
+            pass  # read-only data dir: keep in memory only
+        return training_samples
+
+    def get_num_scenes(self):
+        return len(self.scene_list)
+
+    def _build_tracklet_anno(self):
+        list_of_tracklet_anno = []
+        list_of_tracklet_len = []
+        for scene in self.scene_list:
+            label_file = os.path.join(self.KITTI_label, scene + ".txt")
+            df = pd.read_csv(
+                label_file,
+                sep=" ",
+                names=[
+                    "frame", "track_id", "type", "truncated", "occluded",
+                    "alpha", "bbox_left", "bbox_top", "bbox_right",
+                    "bbox_bottom", "height", "width", "length", "x", "y", "z",
+                    "rotation_y",
+                ],
+            )
+            if self.category_name in [
+                "Car", "Van", "Truck", "Pedestrian", "Person_sitting",
+                "Cyclist", "Tram", "Misc",
+            ]:
+                df = df[df["type"] == self.category_name]
+            elif self.category_name == "All":
+                df = df[
+                    (df["type"] == "Car")
+                    | (df["type"] == "Van")
+                    | (df["type"] == "Pedestrian")
+                    | (df["type"] == "Cyclist")
+                ]
+            else:
+                df = df[df["type"] != "DontCare"]
+            df.insert(loc=0, column="scene", value=scene)
+            for track_id in df.track_id.unique():
+                df_tracklet = df[df["track_id"] == track_id]
+                df_tracklet = df_tracklet.sort_values(by=["frame"]).reset_index(drop=True)
+                tracklet_anno = [anno for _, anno in df_tracklet.iterrows()]
+                list_of_tracklet_anno.append(tracklet_anno)
+                list_of_tracklet_len.append(len(tracklet_anno))
+        return list_of_tracklet_anno, list_of_tracklet_len
+
+    def get_frames(self, seq_id, frame_ids):
+        if self.preloading:
+            return [self.training_samples[seq_id][f_id] for f_id in frame_ids]
+        seq_annos = self.tracklet_anno_list[seq_id]
+        return [self._get_frame_from_anno(seq_annos[f_id]) for f_id in frame_ids]
+
+    def _get_frame_from_anno(self, anno):
+        scene_id = anno["scene"]
+        frame_id = anno["frame"]
+        if scene_id not in self.calibs:
+            self.calibs[scene_id] = self._read_calib_file(
+                os.path.join(self.KITTI_calib, scene_id + ".txt")
+            )
+        calib = self.calibs[scene_id]
+        velo_to_cam = np.vstack((calib["Tr_velo_cam"], np.array([0, 0, 0, 1])))
+
+        if self.coordinate_mode == "velodyne":
+            box_center_cam = np.array(
+                [anno["x"], anno["y"] - anno["height"] / 2, anno["z"], 1]
+            )
+            box_center_velo = np.dot(np.linalg.inv(velo_to_cam), box_center_cam)[:3]
+            size = [anno["width"], anno["length"], anno["height"]]
+            orientation = Quaternion(
+                axis=[0, 0, -1], radians=anno["rotation_y"]
+            ) * Quaternion(axis=[0, 0, -1], degrees=90)
+            bb = Box(box_center_velo, size, orientation)
+        else:
+            center = [anno["x"], anno["y"] - anno["height"] / 2, anno["z"]]
+            size = [anno["width"], anno["length"], anno["height"]]
+            orientation = Quaternion(
+                axis=[0, 1, 0], radians=anno["rotation_y"]
+            ) * Quaternion(axis=[1, 0, 0], radians=np.pi / 2)
+            bb = Box(center, size, orientation)
+
+        try:
+            try:
+                pc = self.velos[scene_id][frame_id]
+            except KeyError:
+                velodyne_path = os.path.join(
+                    self.KITTI_velo, scene_id, "{:06}.bin".format(frame_id)
+                )
+                pc = PointCloud(
+                    np.fromfile(velodyne_path, dtype=np.float32).reshape(-1, 4).T
+                )
+                if self.coordinate_mode == "camera":
+                    pc.transform(velo_to_cam)
+                self.velos[scene_id][frame_id] = pc
+            if self.preload_offset > 0:
+                pc = points_utils.crop_pc_axis_aligned(pc, bb, offset=self.preload_offset)
+        except Exception:
+            # missing velodyne frame: single origin point (kitti.py:182-187)
+            pc = PointCloud(np.array([[0, 0, 0]]).T)
+        return {"pc": pc, "3d_bbox": bb, "meta": anno}
+
+    @staticmethod
+    def _read_calib_file(filepath):
+        data = {}
+        with open(filepath, "r") as f:
+            for line in f.readlines():
+                values = line.split()
+                try:
+                    data[values[0]] = np.array(
+                        [float(x) for x in values[1:]]
+                    ).reshape(3, 4)
+                except ValueError:
+                    pass
+        return data

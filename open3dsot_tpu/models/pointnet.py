@@ -1,0 +1,189 @@
+"""PointNet family backbones (flax, channels-last).
+
+TPU-native re-designs of /root/reference/models/backbone/pointnet.py and the
+set-abstraction module (/root/reference/pointnet2/utils/pointnet2_modules.py):
+
+- `MiniPointNet`   — per-point MLP -> global max-pool -> FC MLP
+  (pointnet.py:91-141).
+- `SegPointNet`    — per-point MLP with a layer-2 tap, global max-pool
+  concatenated back per point, second MLP, logits head (pointnet.py:144-204).
+- `SetAbstraction` — centroid sampling (FPS or first-npoint), ball-query
+  grouping, SharedMLP, max over the neighborhood (pointnet2_modules.py:24-149).
+- `PointnetBackbone` — 3 single-scale-grouping SA layers with radii
+  0.3/0.5/0.7, nsample 32 (pointnet.py:12-88).
+- `FeaturePropagation` — 3-NN inverse-distance interpolation + MLP
+  (pointnet2_modules.py:152-212; defined for completeness, unused by the
+  three trackers, as in the reference).
+
+All tensors are (B, N, C); masked points participate exactly as in the
+reference (zeroed features, plain max-pool).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from open3dsot_tpu.models.layers import MLP
+from open3dsot_tpu.ops import ball_query, furthest_point_sample, gather_points, group_points
+from open3dsot_tpu.ops.interpolate import three_interpolate, three_nn
+
+
+class MiniPointNet(nn.Module):
+    per_point_mlp: Sequence[int]
+    hidden_mlp: Sequence[int]
+    output_size: int = 0  # <=0: no final FC
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """x (B, N, C) -> (B, hidden_mlp[-1] or output_size)."""
+        x = MLP(self.per_point_mlp, name="per_point")(x, train=train)
+        x = jnp.max(x, axis=1)  # global max-pool over points
+        x = MLP(self.hidden_mlp, name="hidden")(x, train=train)
+        if self.output_size > 0:
+            x = nn.Dense(self.output_size, name="fc")(x)
+        return x
+
+
+class SegPointNet(nn.Module):
+    per_point_mlp1: Sequence[int]
+    per_point_mlp2: Sequence[int]
+    output_size: int = 0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """x (B, N, C) -> per-point logits (B, N, output_size)."""
+        second_layer_out = None
+        for i, ch in enumerate(self.per_point_mlp1):
+            x = MLP([ch], name=f"mlp1_{i}")(x, train=train)
+            if i == 1:
+                second_layer_out = x
+        pooled = jnp.max(x, axis=1, keepdims=True)  # (B, 1, C)
+        pooled = jnp.broadcast_to(pooled, x.shape)
+        x = jnp.concatenate([second_layer_out, pooled], axis=-1)
+        for i, ch in enumerate(self.per_point_mlp2):
+            x = MLP([ch], name=f"mlp2_{i}")(x, train=train)
+        if self.output_size > 0:
+            x = nn.Dense(self.output_size, name="fc")(x)
+        return x
+
+
+class SetAbstraction(nn.Module):
+    """Single-scale-grouping SA layer.
+
+    Centroids: FPS when use_fps else the first `npoint` points
+    (pointnet2_modules.py:53-56); neighborhoods: ball query with
+    pad-with-first; features: [centered xyz (optionally /radius) || grouped
+    features] -> SharedMLP -> max over nsample.
+    """
+
+    mlp: Sequence[int]
+    radius: float
+    nsample: int
+    use_xyz: bool = True
+    use_fps: bool = False
+    normalize_xyz: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jnp.ndarray,
+        features: Optional[jnp.ndarray],
+        npoint: int,
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """xyz (B, N, 3), features (B, N, C) or None -> (new_xyz (B, S, 3),
+        new_features (B, S, mlp[-1]), sample_idxs (B, S))."""
+        B, N, _ = xyz.shape
+        if self.use_fps:
+            sample_idxs = furthest_point_sample(xyz, npoint)
+        else:
+            sample_idxs = jnp.broadcast_to(
+                jnp.arange(npoint, dtype=jnp.int32)[None, :], (B, npoint)
+            )
+        new_xyz = gather_points(xyz, sample_idxs)  # (B, S, 3)
+
+        idx = ball_query(self.radius, self.nsample, xyz, new_xyz)  # (B, S, K)
+        grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]  # (B, S, K, 3)
+        if self.normalize_xyz:
+            grouped_xyz = grouped_xyz / self.radius
+        if features is not None:
+            grouped_feats = group_points(features, idx)  # (B, S, K, C)
+            if self.use_xyz:
+                grouped = jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+            else:
+                grouped = grouped_feats
+        else:
+            grouped = grouped_xyz
+
+        out = MLP(self.mlp, name="mlp_shared")(grouped, train=train)  # (B, S, K, C')
+        out = jnp.max(out, axis=2)  # max over neighborhood
+        return new_xyz, out, sample_idxs
+
+
+class PointnetBackbone(nn.Module):
+    """3-layer SSG PointNet++ encoder (pointnet.py:28-88).
+
+    FPS (if enabled) only at layer 1; layers 2-3 take the first npoint
+    centroids, matching the reference.
+    """
+
+    use_fps: bool = False
+    normalize_xyz: bool = False
+    return_intermediate: bool = False
+    input_channels: int = 0
+
+    @nn.compact
+    def __call__(self, pointcloud: jnp.ndarray, numpoints: Sequence[int], train: bool = False):
+        """pointcloud (B, N, 3 + input_channels); numpoints: per-layer npoint."""
+        xyz = pointcloud[..., 0:3]
+        features = pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else None
+
+        specs = [
+            dict(mlp=[64, 64, 128], radius=0.3, nsample=32, use_fps=self.use_fps),
+            dict(mlp=[128, 128, 256], radius=0.5, nsample=32, use_fps=False),
+            dict(mlp=[256, 256, 256], radius=0.7, nsample=32, use_fps=False),
+        ]
+        l_xyz, l_features, l_idxs = [xyz], [features], []
+        for i, spec in enumerate(specs):
+            li_xyz, li_features, sample_idxs = SetAbstraction(
+                mlp=spec["mlp"],
+                radius=spec["radius"],
+                nsample=spec["nsample"],
+                use_xyz=True,
+                use_fps=spec["use_fps"],
+                normalize_xyz=self.normalize_xyz,
+                name=f"sa{i}",
+            )(l_xyz[i], l_features[i], numpoints[i], train=train)
+            l_xyz.append(li_xyz)
+            l_features.append(li_features)
+            l_idxs.append(sample_idxs)
+        if self.return_intermediate:
+            return l_xyz[1:], l_features[1:], l_idxs[0]
+        return l_xyz[-1], l_features[-1], l_idxs[0]
+
+
+class FeaturePropagation(nn.Module):
+    """3-NN inverse-distance feature propagation (pointnet2_modules.py:152-212)."""
+
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(self, unknown, known, unknown_feats, known_feats, train: bool = False):
+        if known is not None:
+            dist, idx = three_nn(unknown, known)
+            dist_recip = 1.0 / (dist + 1e-8)
+            norm = jnp.sum(dist_recip, axis=2, keepdims=True)
+            weight = dist_recip / norm
+            interpolated = three_interpolate(known_feats, idx, weight)
+        else:
+            interpolated = jnp.broadcast_to(
+                known_feats, (known_feats.shape[0], unknown.shape[1], known_feats.shape[-1])
+            )
+        if unknown_feats is not None:
+            new_features = jnp.concatenate([interpolated, unknown_feats], axis=-1)
+        else:
+            new_features = interpolated
+        return MLP(self.mlp, name="mlp_shared")(new_features, train=train)

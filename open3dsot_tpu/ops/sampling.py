@@ -1,0 +1,44 @@
+"""Furthest point sampling (FPS) on TPU.
+
+TPU-native equivalent of the reference's `furthest_point_sampling` CUDA
+kernel (consumed via /root/reference/pointnet2/utils/pointnet2_utils.py:35-65):
+seeded at index 0, iteratively picks the point with the maximum squared
+distance to the selected set, tracked with a running min-distance buffer.
+
+The selection recurrence is inherently sequential in `npoint`; each step is a
+batched (B, N) VPU operation, expressed as a `lax.fori_loop` so XLA compiles
+one fused kernel holding the running distances on-chip. Non-differentiable
+(indices), same as the CUDA op.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    """xyz (B, N, 3) -> (B, npoint) int32 indices.
+
+    Matches CUDA semantics: first index is always 0; distances are squared
+    euclidean; ties resolve to the lowest index.
+    """
+    B, N, _ = xyz.shape
+    xyz = xyz.astype(jnp.float32)
+
+    def body(i, state):
+        idxs, min_d2, last = state
+        # squared distance from every point to the last selected point
+        diff = xyz - last[:, None, :]  # (B, N, 3)
+        d2 = jnp.sum(diff * diff, axis=-1)  # (B, N)
+        min_d2 = jnp.minimum(min_d2, d2)
+        nxt = jnp.argmax(min_d2, axis=-1).astype(jnp.int32)  # (B,)
+        idxs = idxs.at[:, i].set(nxt)
+        last = jnp.take_along_axis(xyz, nxt[:, None, None], axis=1)[:, 0, :]
+        return idxs, min_d2, last
+
+    idxs = jnp.zeros((B, npoint), dtype=jnp.int32)
+    min_d2 = jnp.full((B, N), 1e10, dtype=jnp.float32)
+    last = xyz[:, 0, :]
+    idxs, _, _ = jax.lax.fori_loop(1, npoint, body, (idxs, min_d2, last))
+    return jax.lax.stop_gradient(idxs)
