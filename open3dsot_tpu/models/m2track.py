@@ -253,6 +253,12 @@ class M2TrackModel:
         return batch
 
     # --- net application --------------------------------------------------
+    def init(self, rng, batch: dict):
+        kwargs = {}
+        if getattr(self.config, "box_aware", False):
+            kwargs["candidate_bc"] = batch["candidate_bc"]
+        return self.net.init(rng, batch["points"], train=True, **kwargs)
+
     def apply(self, variables, batch: dict, train: bool = False):
         kwargs = {}
         if getattr(self.config, "box_aware", False):

@@ -1,0 +1,164 @@
+"""Shared logic for matching trackers (P2B / BAT).
+
+TPU-native rebuild of MatchingBaseModel
+(/root/reference/models/base_model.py:120-247): the 4-term matching loss
+(seg BCE, masked vote smooth-L1, banded objectness BCE with pos_weight 2,
+objectness-weighted box smooth-L1) and the eval-time template/search-area
+builders (shape_aggregation, reference_BB, seeded regularize).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from open3dsot_tpu.models.losses import bce_with_logits, smooth_l1
+
+
+def matching_loss(config, batch: dict, output: dict) -> dict:
+    """Reference base_model.py:122-164. Expects seg_label already gathered
+    through the backbone sample idxs (done in the model's train apply)."""
+    estimation_boxes = output["estimation_boxes"]  # (B, K, 5)
+    estimation_cla = output["estimation_cla"]  # (B, N)
+    seg_label = batch["seg_label"]  # (B, N) float
+    box_label = batch["box_label"]  # (B, 4)
+    proposal_center = output["center_xyz"]  # (B, K, 3)
+    vote_xyz = output["vote_xyz"]  # (B, N, 3)
+
+    loss_seg = bce_with_logits(estimation_cla, seg_label)
+
+    loss_vote = smooth_l1(vote_xyz, jnp.broadcast_to(box_label[:, None, :3], vote_xyz.shape))
+    loss_vote = jnp.sum(loss_vote.mean(axis=2) * seg_label) / (jnp.sum(seg_label) + 1e-6)
+
+    dist = jnp.sum((proposal_center - box_label[:, None, :3]) ** 2, axis=-1)
+    dist = jnp.sqrt(dist + 1e-6)  # (B, K)
+    objectness_label = (dist < 0.3).astype(jnp.float32)
+    objectness_score = estimation_boxes[:, :, 4]
+    objectness_mask = ((dist < 0.3) | (dist > 0.6)).astype(jnp.float32)
+    loss_objective = bce_with_logits(
+        objectness_score, objectness_label, pos_weight=2.0, reduction="none"
+    )
+    loss_objective = jnp.sum(loss_objective * objectness_mask) / (
+        jnp.sum(objectness_mask) + 1e-6
+    )
+    loss_box = smooth_l1(
+        estimation_boxes[:, :, :4],
+        jnp.broadcast_to(box_label[:, None, :4], estimation_boxes[:, :, :4].shape),
+    )
+    loss_box = jnp.sum(loss_box.mean(axis=2) * objectness_label) / (
+        jnp.sum(objectness_label) + 1e-6
+    )
+    return {
+        "loss_objective": loss_objective,
+        "loss_box": loss_box,
+        "loss_seg": loss_seg,
+        "loss_vote": loss_vote,
+    }
+
+
+def matching_total_loss(config, loss_dict: dict) -> jnp.ndarray:
+    """Weighted sum (p2b.py:81-84 / bat.py:139-143)."""
+    total = (
+        loss_dict["loss_objective"] * config.objectiveness_weight
+        + loss_dict["loss_box"] * config.box_weight
+        + loss_dict["loss_seg"] * config.seg_weight
+        + loss_dict["loss_vote"] * config.vote_weight
+    )
+    if "loss_bc" in loss_dict:
+        total = total + loss_dict["loss_bc"] * config.bc_weight
+    return total
+
+
+class MatchingEvalMixin:
+    """Eval-time input building for matching trackers
+    (base_model.py:166-247)."""
+
+    def generate_template(self, sequence, current_frame_id, results_bbs):
+        from open3dsot_tpu.geometry import points_utils
+
+        config = self.config
+        first_pc = sequence[0]["pc"]
+        previous_pc = sequence[current_frame_id - 1]["pc"]
+        agg = config.shape_aggregation.upper()
+        if "FIRSTANDPREVIOUS" in agg:
+            return points_utils.getModel(
+                [first_pc, previous_pc],
+                [results_bbs[0], results_bbs[current_frame_id - 1]],
+                scale=config.model_bb_scale,
+                offset=config.model_bb_offset,
+            )
+        if "FIRST" in agg:
+            return points_utils.cropAndCenterPC(
+                first_pc, results_bbs[0],
+                scale=config.model_bb_scale, offset=config.model_bb_offset,
+            )
+        if "PREVIOUS" in agg:
+            return points_utils.cropAndCenterPC(
+                previous_pc, results_bbs[current_frame_id - 1],
+                scale=config.model_bb_scale, offset=config.model_bb_offset,
+            )
+        if "ALL" in agg:
+            return points_utils.getModel(
+                [frame["pc"] for frame in sequence[:current_frame_id]],
+                results_bbs,
+                scale=config.model_bb_scale,
+                offset=config.model_bb_offset,
+            )
+        raise ValueError(config.shape_aggregation)
+
+    def generate_search_area(self, sequence, current_frame_id, results_bbs):
+        from open3dsot_tpu.geometry import points_utils
+
+        config = self.config
+        this_bb = sequence[current_frame_id]["3d_bbox"]
+        this_pc = sequence[current_frame_id]["pc"]
+        ref = config.reference_BB.upper()
+        if "PREVIOUS_RESULT" in ref:
+            ref_bb = results_bbs[-1]
+        elif "PREVIOUS_GT" in ref:
+            ref_bb = sequence[current_frame_id - 1]["3d_bbox"]
+        elif "CURRENT_GT" in ref:
+            ref_bb = this_bb
+        else:
+            raise ValueError(config.reference_BB)
+        search_pc_crop = points_utils.generate_subwindow(
+            this_pc, ref_bb,
+            scale=config.search_bb_scale, offset=config.search_bb_offset,
+        )
+        return search_pc_crop, ref_bb
+
+    def prepare_input(self, template_pc, search_pc, template_box):
+        from open3dsot_tpu.geometry import points_utils
+
+        config = self.config
+        template_points, _ = points_utils.regularize_pc(
+            template_pc.points.T, config.template_size, seed=1
+        )
+        search_points, _ = points_utils.regularize_pc(
+            search_pc.points.T, config.search_size, seed=1
+        )
+        return {
+            "template_points": template_points[None].astype(np.float32),
+            "search_points": search_points[None].astype(np.float32),
+        }
+
+    def build_input_dict(self, sequence, frame_id, results_bbs):
+        search_pc_crop, ref_bb = self.generate_search_area(sequence, frame_id, results_bbs)
+        template_pc, canonical_box = self.generate_template(sequence, frame_id, results_bbs)
+        data_dict = self.prepare_input(template_pc, search_pc_crop, canonical_box)
+        return data_dict, ref_bb
+
+    def extract_output_box(self, output, ref_box):
+        """argmax-objectness proposal -> world box (base_model.py:44-57)."""
+        from open3dsot_tpu.geometry import points_utils
+
+        boxes = np.asarray(output["estimation_boxes"])[0]  # (K, 5)
+        best = int(np.argmax(boxes[:, 4]))
+        estimation_box = boxes[best, 0:4]
+        return points_utils.getOffsetBB(
+            ref_box,
+            estimation_box,
+            degrees=self.config.degrees,
+            use_z=self.config.use_z,
+            limit_box=self.config.limit_box,
+        )

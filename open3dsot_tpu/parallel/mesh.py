@@ -1,0 +1,43 @@
+"""Device-mesh data parallelism.
+
+TPU-native replacement for the reference's DDP/NCCL layer (main.py:82-93,
+SURVEY §2.5): a 1-D `jax.sharding.Mesh` over the 'data' axis; batches are
+sharded along their leading axis, parameters/optimizer state are replicated,
+and `jit` compiles the gradient all-reduce into XLA collectives riding ICI.
+Multi-host extends the same mesh over all processes via
+`jax.distributed.initialize()` (no NODE_RANK/LOCAL_RANK plumbing needed).
+
+The per-threshold metric state (utils/metrics.py) is likewise a fixed-size
+vector summed across devices, replacing torchmetrics' gathered lists.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Leading-axis sharding for batches."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Full replication (params, optimizer state, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
+    """Device-put a numpy batch with its leading axis split across the mesh."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,192 @@
+"""Training loop: jitted mesh-parallel train step, checkpoints, logging.
+
+TPU-native replacement for pl.Trainer + DDP (reference main.py:72-93):
+- one jitted train step over a 'data' mesh — batch sharded on its leading
+  axis, params/opt-state replicated; XLA inserts the gradient all-reduce
+  (ICI collectives), replacing NCCL;
+- BatchNorm batch_stats are updated per-shard then implicitly averaged by the
+  replicated-output constraint (cross-replica BN sync, what torch DDP does
+  not even do);
+- orbax checkpoints with best-metric tracking replacing Lightning
+  ModelCheckpoint(monitor='precision/test', mode max, save_last)
+  (main.py:78-79);
+- validation = full tracklet eval via tracking/eval.py each
+  check_val_every_n_epoch epochs, as the reference does (main.py:84).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from open3dsot_tpu.data.loader import BatchLoader
+from open3dsot_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)
+from open3dsot_tpu.train.optim import make_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+    def replace_fields(self, **kwargs):
+        return self.replace(**kwargs)
+
+
+def init_variables(model, rng: jax.Array, batch_size: int = 2):
+    """Initialize model variables from the model wrapper's dummy batch."""
+    dummy = model.dummy_batch(batch_size)
+    variables = model.init(rng, dummy)
+    return variables
+
+
+def create_train_state(model, rng: jax.Array, optimizer) -> TrainState:
+    variables = init_variables(model, rng)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+    )
+
+
+def make_train_step(model, optimizer, mesh=None, donate: bool = True):
+    """Build the jitted train step. With a mesh, the batch is sharded over
+    the 'data' axis and state is replicated; single-device otherwise."""
+
+    def loss_fn(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        output, mutated = model.apply(variables, batch, train=True)
+        loss_dict = model.loss(model.config, batch, output)
+        return loss_dict["loss_total"], (mutated["batch_stats"], loss_dict)
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        grad_fn = jax.grad(loss_fn, has_aux=True)
+        grads, (new_bs, loss_dict) = grad_fn(state.params, state.batch_stats, batch)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        )
+        return new_state, loss_dict
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+class Trainer:
+    """Epoch loop + validation + orbax checkpointing."""
+
+    def __init__(self, model, config, work_dir: Optional[str] = None,
+                 mesh=None, log_every: int = 50):
+        self.model = model
+        self.config = config
+        self.work_dir = work_dir or getattr(config, "log_dir", "./runs")
+        os.makedirs(self.work_dir, exist_ok=True)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.log_every = log_every
+        self.best_metric = -np.inf
+        self.history = []
+
+    def fit(self, train_sampler, val_sampler=None, epochs: Optional[int] = None,
+            steps_per_epoch: Optional[int] = None):
+        cfg = self.config
+        epochs = epochs if epochs is not None else cfg.epoch
+        loader = BatchLoader(
+            train_sampler, cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.seed
+        )
+        spe = steps_per_epoch or max(len(loader), 1)
+        optimizer = make_optimizer(cfg, spe)
+        rng = jax.random.PRNGKey(cfg.seed)
+        state = create_train_state(self.model, rng, optimizer)
+        train_step = make_train_step(self.model, optimizer, mesh=self.mesh)
+
+        for epoch in range(epochs):
+            loader.set_epoch(epoch)
+            t0 = time.time()
+            losses = []
+            for i, batch in enumerate(loader):
+                if steps_per_epoch is not None and i >= steps_per_epoch:
+                    break
+                batch = shard_batch(batch, self.mesh)
+                state, loss_dict = train_step(state, batch)
+                if (i + 1) % self.log_every == 0 or i == 0:
+                    losses.append(float(loss_dict["loss_total"]))
+            epoch_info = {
+                "epoch": epoch,
+                "loss": float(np.mean(losses)) if losses else float("nan"),
+                "time_s": time.time() - t0,
+            }
+            # validation = full tracklet eval (reference main.py:84)
+            if val_sampler is not None and (
+                (epoch + 1) % getattr(cfg, "check_val_every_n_epoch", 1) == 0
+            ):
+                from open3dsot_tpu.tracking.eval import evaluate_dataset
+
+                variables = {"params": state.params, "batch_stats": state.batch_stats}
+                succ, prec = evaluate_dataset(self.model, variables, val_sampler, cfg)
+                epoch_info.update(success=succ, precision=prec)
+                if prec > self.best_metric:
+                    self.best_metric = prec
+                    self.save_checkpoint(state, name="best")
+            self.save_checkpoint(state, name="last")
+            self.history.append(epoch_info)
+            self._log(epoch_info)
+        return state
+
+    def save_checkpoint(self, state: TrainState, name: str = "last"):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.work_dir, f"ckpt_{name}"))
+        ckptr = ocp.StandardCheckpointer()
+        payload = {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "step": jax.device_get(state.step),
+        }
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
+
+    @staticmethod
+    def load_checkpoint(path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        payload = ckptr.restore(os.path.abspath(path))
+        return {"params": payload["params"], "batch_stats": payload["batch_stats"]}
+
+    def _log(self, info: dict):
+        print(json.dumps({k: (round(v, 5) if isinstance(v, float) else v)
+                          for k, v in info.items()}))
+        with open(os.path.join(self.work_dir, "history.jsonl"), "a") as f:
+            f.write(json.dumps(info) + "\n")

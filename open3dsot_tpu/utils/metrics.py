@@ -62,7 +62,7 @@ class _ThresholdAUC:
     def compute(self) -> float:
         if self.total == 0:
             return 0.0
-        return float(np.trapz(self.curve(), x=self.xaxis) * 100.0 / self.max_value)
+        return float(np.trapezoid(self.curve(), x=self.xaxis) * 100.0 / self.max_value)
 
 
 class Precision(_ThresholdAUC):

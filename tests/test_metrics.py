@@ -94,7 +94,7 @@ class TestAUCMetrics:
         s.update(np.zeros(10))
         # only threshold 0 is satisfied -> first trapezoid contributes
         # 0.5*(1+0)*(1/20) per unit... matches torch.trapz of [1,0,...,0]
-        expected = np.trapz([1.0] + [0.0] * 20, x=np.linspace(0, 1, 21)) * 100
+        expected = np.trapezoid([1.0] + [0.0] * 20, x=np.linspace(0, 1, 21)) * 100
         assert math.isclose(s.compute(), expected)
 
     def test_precision_known_value(self):
@@ -103,7 +103,7 @@ class TestAUCMetrics:
         p.update(vals)
         x = np.linspace(0, 2, 21)
         curve = [(vals <= t).mean() for t in x]
-        expected = np.trapz(curve, x=x) * 100 / 2
+        expected = np.trapezoid(curve, x=x) * 100 / 2
         assert math.isclose(p.compute(), expected)
 
     def test_merge_equals_concat(self):
