@@ -1,0 +1,82 @@
+"""Tracking-FPS benchmark (run on the real TPU chip).
+
+Measures per-chip single-stream tracking FPS of the flagship M2-Track
+tracker on deterministic synthetic tracklets (KITTI-shaped inputs:
+point_sample_size=1024, i.e. 2048 stacked points/frame), end to end — host
+crop/canonicalize/regularize + jitted device forward per frame — exactly the
+loop `evaluate_one_sequence` runs in production.
+
+Baseline: the reference publishes no FPS; its papers report ~57 FPS for
+BAT (2080 GPU) and M2-Track, so vs_baseline = fps / 57.0 (SURVEY §6).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def main():
+    from open3dsot_tpu.config import make_config
+    from open3dsot_tpu.data import get_dataset
+    from open3dsot_tpu.models import get_model
+    from open3dsot_tpu.tracking.eval import Tracker
+    from open3dsot_tpu.train.trainer import init_variables
+
+    cfg = make_config(
+        dict(
+            dataset="synthetic",
+            net_model="m2track",
+            category_name="Car",
+            bb_scale=1.25,
+            bb_offset=2,
+            point_sample_size=1024,
+            degrees=False,
+            up_axis=[0, 0, 1],
+            box_aware=True,
+            use_z=True,
+            limit_box=False,
+            IoU_space=3,
+            motion_threshold=0.15,
+            train_type="train_motion",
+            syn_num_tracklets=4,
+            syn_tracklet_len=50,
+            seed=7,
+        )
+    )
+    model = get_model("m2track")(cfg)
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    test_sampler = get_dataset(cfg, "test", "test")
+    tracker = Tracker(model, variables)
+
+    # warmup: compile + first tracklet
+    tracker.evaluate_one_sequence(test_sampler[0], cfg)
+
+    frames = 0
+    t0 = time.perf_counter()
+    for i in range(len(test_sampler)):
+        seq = test_sampler[i]
+        tracker.evaluate_one_sequence(seq, cfg)
+        frames += len(seq)
+    dt = time.perf_counter() - t0
+    fps = frames / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "m2track_tracking_fps",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 57.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""CLI entry point.
+
+Flag-compatible with the reference (/root/reference/main.py:32-49):
+    python main.py --cfg cfgs/M2_track_kitti.yaml                    # train
+    python main.py --cfg cfgs/M2_track_kitti.yaml --test \
+                   --checkpoint runs/ckpt_best                       # eval
+CLI values override YAML values override defaults. Instead of Lightning DDP
+process spawning, parallelism is a jax device mesh created in-process (all
+local devices by default); multi-host runs call jax.distributed.initialize()
+when JAX_COORDINATOR is set.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="open3dsot_tpu")
+    parser.add_argument("--cfg", type=str, required=True, help="the config_file")
+    parser.add_argument("--test", action="store_true", default=False, help="test mode")
+    parser.add_argument("--checkpoint", type=str, default=None, help="checkpoint location")
+    parser.add_argument("--log_dir", type=str, default=None, help="log/work dir")
+    parser.add_argument("--epoch", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--workers", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--category_name", type=str, default=None)
+    parser.add_argument("--preloading", action="store_true", default=None)
+    parser.add_argument("--max_tracklets", type=int, default=None,
+                        help="cap eval tracklets (debug)")
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="use only the first N local devices")
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    from open3dsot_tpu.config import load_config
+
+    overrides = {
+        k: v
+        for k, v in vars(args).items()
+        if k not in ("cfg", "test", "checkpoint", "max_tracklets", "num_devices")
+        and v is not None
+    }
+    cfg = load_config(args.cfg, overrides)
+
+    if os.environ.get("JAX_COORDINATOR"):
+        jax.distributed.initialize()
+
+    from open3dsot_tpu.data import get_dataset
+    from open3dsot_tpu.models import get_model
+    from open3dsot_tpu.parallel import make_mesh
+    from open3dsot_tpu.train.trainer import Trainer, init_variables
+
+    model = get_model(cfg.net_model)(cfg)
+
+    if args.test:
+        from open3dsot_tpu.tracking.eval import evaluate_dataset
+
+        if args.checkpoint:
+            variables = Trainer.load_checkpoint(args.checkpoint)
+        else:
+            print("WARNING: no --checkpoint given; evaluating random init")
+            variables = init_variables(model, jax.random.PRNGKey(cfg.seed))
+        test_sampler = get_dataset(cfg, "test", cfg.test_split)
+        succ, prec = evaluate_dataset(
+            model, variables, test_sampler, cfg,
+            max_tracklets=args.max_tracklets, verbose=True,
+        )
+        print(f"success/test: {succ:.2f}  precision/test: {prec:.2f}")
+        return
+
+    mesh = make_mesh(args.num_devices)
+    train_sampler = get_dataset(cfg, cfg.train_type, cfg.train_split)
+    val_sampler = get_dataset(cfg, "test", cfg.val_split)
+    trainer = Trainer(model, cfg, work_dir=args.log_dir, mesh=mesh)
+    trainer.fit(train_sampler, val_sampler)
+
+
+if __name__ == "__main__":
+    main()

@@ -117,6 +117,9 @@ class Trainer:
         self.log_every = log_every
         self.best_metric = -np.inf
         self.history = []
+        from open3dsot_tpu.utils.logging import ScalarLogger
+
+        self.logger = ScalarLogger(self.work_dir)
 
     def fit(self, train_sampler, val_sampler=None, epochs: Optional[int] = None,
             steps_per_epoch: Optional[int] = None):
@@ -142,6 +145,11 @@ class Trainer:
                 state, loss_dict = train_step(state, batch)
                 if (i + 1) % self.log_every == 0 or i == 0:
                     losses.append(float(loss_dict["loss_total"]))
+                    self.logger.log_scalars(
+                        {k: float(v) for k, v in loss_dict.items()},
+                        step=int(state.step),
+                        prefix="loss/",
+                    )
             epoch_info = {
                 "epoch": epoch,
                 "loss": float(np.mean(losses)) if losses else float("nan"),
@@ -156,6 +164,9 @@ class Trainer:
                 variables = {"params": state.params, "batch_stats": state.batch_stats}
                 succ, prec = evaluate_dataset(self.model, variables, val_sampler, cfg)
                 epoch_info.update(success=succ, precision=prec)
+                self.logger.log_scalars(
+                    {"success/test": succ, "precision/test": prec}, step=int(state.step)
+                )
                 if prec > self.best_metric:
                     self.best_metric = prec
                     self.save_checkpoint(state, name="best")
