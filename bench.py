@@ -1,13 +1,14 @@
 """Tracking-FPS benchmark (run on the real TPU chip).
 
-Measures per-chip single-stream tracking FPS of the flagship M2-Track
-tracker on deterministic synthetic tracklets (KITTI-shaped inputs:
-point_sample_size=1024, i.e. 2048 stacked points/frame), end to end — host
-crop/canonicalize/regularize + jitted device forward per frame — exactly the
-loop `evaluate_one_sequence` runs in production.
+Headline: per-chip tracking FPS of the flagship M2-Track tracker using the
+fully on-device scan tracker (tracking/scan_tracker.py) — the entire
+per-frame pipeline (crop -> resample -> channels -> forward -> box update)
+compiled into one lax.scan, one device dispatch per tracklet. KITTI-shaped
+inputs: point_sample_size=1024 (2048 stacked points/frame), 4096-point padded
+frames.
 
-Baseline: the reference publishes no FPS; its papers report ~57 FPS for
-BAT (2080 GPU) and M2-Track, so vs_baseline = fps / 57.0 (SURVEY §6).
+Baseline: the reference publishes no FPS; its papers report ~57 FPS for BAT
+(2080 GPU) and M2-Track, so vs_baseline = fps / 57.0 (SURVEY §6).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -18,14 +19,13 @@ import json
 import time
 
 import jax
-import numpy as np
 
 
 def main():
     from open3dsot_tpu.config import make_config
     from open3dsot_tpu.data import get_dataset
     from open3dsot_tpu.models import get_model
-    from open3dsot_tpu.tracking.eval import Tracker
+    from open3dsot_tpu.tracking.scan_tracker import M2ScanTracker
     from open3dsot_tpu.train.trainer import init_variables
 
     cfg = make_config(
@@ -44,15 +44,15 @@ def main():
             IoU_space=3,
             motion_threshold=0.15,
             train_type="train_motion",
-            syn_num_tracklets=4,
-            syn_tracklet_len=50,
+            syn_num_tracklets=8,
+            syn_tracklet_len=64,
             seed=7,
         )
     )
     model = get_model("m2track")(cfg)
     variables = init_variables(model, jax.random.PRNGKey(0))
     test_sampler = get_dataset(cfg, "test", "test")
-    tracker = Tracker(model, variables)
+    tracker = M2ScanTracker(model, variables, cfg, max_points=4096, frame_bucket=64)
 
     # warmup: compile + first tracklet
     tracker.evaluate_one_sequence(test_sampler[0], cfg)
@@ -69,7 +69,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "m2track_tracking_fps",
+                "metric": "m2track_scan_tracking_fps",
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 57.0, 3),

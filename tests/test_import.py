@@ -78,9 +78,8 @@ class TestMiniPointNetParity:
             want = tm(torch.from_numpy(x)).numpy()  # (B, 8)
 
         net = MiniPointNet(per_point_mlp=[8, 16], hidden_mlp=[16, 8], output_size=-1)
-        got = np.asarray(
-            net.apply(variables, x.transpose(0, 2, 1), train=False)
-        )
+        with jax.default_matmul_precision("highest"):
+            got = np.asarray(net.apply(variables, x.transpose(0, 2, 1), train=False))
         assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
 
 
@@ -101,9 +100,10 @@ class TestPlainMLPParity:
         x = np.random.default_rng(1).normal(size=(4, 16)).astype(np.float32)
         with torch.no_grad():
             want = tm(torch.from_numpy(x)).numpy()
-        got = np.asarray(
-            MLP([32, 32, 4], final_plain=True).apply(variables, x, train=False)
-        )
+        with jax.default_matmul_precision("highest"):
+            got = np.asarray(
+                MLP([32, 32, 4], final_plain=True).apply(variables, x, train=False)
+            )
         assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
 
 
@@ -159,10 +159,11 @@ class TestSegPointNetParity:
         x = np.random.default_rng(2).normal(size=(2, 5, 24)).astype(np.float32)
         with torch.no_grad():
             want = tm(torch.from_numpy(x)).numpy()  # (B, 2, N)
-        got = np.asarray(
-            SegPointNet(per_point_mlp1=[8, 8, 16], per_point_mlp2=[16, 8], output_size=2)
-            .apply(variables, x.transpose(0, 2, 1), train=False)
-        )
+        with jax.default_matmul_precision("highest"):
+            got = np.asarray(
+                SegPointNet(per_point_mlp1=[8, 8, 16], per_point_mlp2=[16, 8], output_size=2)
+                .apply(variables, x.transpose(0, 2, 1), train=False)
+            )
         assert np.allclose(got, want.transpose(0, 2, 1), atol=1e-4)
 
 
