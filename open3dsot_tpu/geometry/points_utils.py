@@ -174,10 +174,33 @@ def crop_pc_oriented(PC: PointCloud, box: Box, offset=0, scale=1.0, return_mask=
     return new_PC
 
 
+def _native_enabled() -> bool:
+    import os
+
+    return os.environ.get("OPEN3DSOT_TPU_NATIVE", "1") != "0"
+
+
 def generate_subwindow(pc: PointCloud, sample_bb: Box, scale, offset=2, oriented=True) -> PointCloud:
-    """Crop the search region around sample_bb, canonicalized to its frame."""
+    """Crop the search region around sample_bb, canonicalized to its frame.
+
+    Hot path of both samplers and the eval input builders; when the native
+    geomlib is available the translate+rotate+crop runs as one fused C++
+    pass (open3dsot_tpu/native), falling back to the numpy reference
+    otherwise (identical strict-bound semantics, tests/test_native.py).
+    """
     rot_mat = np.transpose(sample_bb.rotation_matrix)
     trans = -sample_bb.center
+    if oriented and _native_enabled():
+        from open3dsot_tpu import native
+
+        if native.available():
+            box_tmp = transform_box(sample_bb, sample_bb)
+            box_tmp.wlh = box_tmp.wlh * scale
+            maxi = np.max(box_tmp.corners(), 1) + offset
+            cropped = native.crop_canonical(
+                pc.points.T, rot_mat, sample_bb.center, maxi
+            )
+            return PointCloud(cropped.T)
     if oriented:
         new_pc = pc.copy()
         box_tmp = sample_bb.copy()
