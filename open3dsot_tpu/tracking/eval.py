@@ -61,18 +61,25 @@ class Tracker:
 
 
 def evaluate_dataset(model, variables, test_sampler, config,
-                     max_tracklets: Optional[int] = None, verbose: bool = False):
+                     max_tracklets: Optional[int] = None, verbose: bool = False,
+                     shard_across_processes: bool = False):
     """Run the tracker over every tracklet; returns (success, precision).
 
-    Metric state is the mergeable count-vector form (utils/metrics.py), so a
-    multi-host run simply sums each host's `state()` vectors.
+    Distributed eval (replacing the reference's Lightning DDP test sharding,
+    main.py:89-93): with shard_across_processes, each host walks tracklets
+    `process_index, process_index + process_count, ...` and the fixed-size
+    metric count-vectors are summed across hosts at the end — O(22 floats)
+    of communication regardless of dataset size.
     """
     tracker = Tracker(model, variables)
     success, precision = Success(), Precision()
     n = len(test_sampler)
     if max_tracklets is not None:
         n = min(n, max_tracklets)
-    for i in range(n):
+    start, step = 0, 1
+    if shard_across_processes:
+        start, step = jax.process_index(), jax.process_count()
+    for i in range(start, n, step):
         sequence = test_sampler[i]
         ious, distances, _ = tracker.evaluate_one_sequence(sequence, config)
         success.update(ious)
@@ -82,4 +89,10 @@ def evaluate_dataset(model, variables, test_sampler, config,
                 f"tracklet {i + 1}/{n} len={len(sequence)} "
                 f"success={success.compute():.2f} precision={precision.compute():.2f}"
             )
+    if shard_across_processes and jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        for metric in (success, precision):
+            gathered = np.asarray(multihost_utils.process_allgather(metric.state()))
+            metric.load_state(gathered.sum(axis=0))
     return success.compute(), precision.compute()

@@ -122,7 +122,7 @@ class Trainer:
         self.logger = ScalarLogger(self.work_dir)
 
     def fit(self, train_sampler, val_sampler=None, epochs: Optional[int] = None,
-            steps_per_epoch: Optional[int] = None):
+            steps_per_epoch: Optional[int] = None, resume_from: Optional[str] = None):
         cfg = self.config
         epochs = epochs if epochs is not None else cfg.epoch
         loader = BatchLoader(
@@ -132,9 +132,18 @@ class Trainer:
         optimizer = make_optimizer(cfg, spe)
         rng = jax.random.PRNGKey(cfg.seed)
         state = create_train_state(self.model, rng, optimizer)
+        start_epoch = 0
+        if resume_from is not None:
+            restored = self.load_checkpoint(resume_from)
+            state = state.replace(
+                params=restored["params"],
+                batch_stats=restored["batch_stats"],
+                step=jnp.asarray(restored.get("step", 0), jnp.int32),
+            )
+            start_epoch = int(restored.get("step", 0)) // spe
         train_step = make_train_step(self.model, optimizer, mesh=self.mesh)
 
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             loader.set_epoch(epoch)
             t0 = time.time()
             losses = []
@@ -194,7 +203,11 @@ class Trainer:
 
         ckptr = ocp.StandardCheckpointer()
         payload = ckptr.restore(os.path.abspath(path))
-        return {"params": payload["params"], "batch_stats": payload["batch_stats"]}
+        return {
+            "params": payload["params"],
+            "batch_stats": payload["batch_stats"],
+            "step": payload.get("step", 0),
+        }
 
     def _log(self, info: dict):
         print(json.dumps({k: (round(v, 5) if isinstance(v, float) else v)

@@ -53,26 +53,39 @@ class TestSelectFixed:
     def test_downsample_takes_valid_in_order(self):
         import jax.numpy as jnp
 
-        pts = jnp.arange(10, dtype=jnp.float32)[:, None]
-        valid = jnp.asarray([0, 1, 1, 0, 1, 1, 1, 1, 1, 1], bool)
-        out = np.asarray(_select_fixed(pts, valid, 4))[:, 0]
+        pts = jnp.arange(10, dtype=jnp.float32)[None, :, None]
+        valid = jnp.asarray([[0, 1, 1, 0, 1, 1, 1, 1, 1, 1]], bool)
+        out = np.asarray(_select_fixed(pts, valid, 4))[0, :, 0]
         assert out.tolist() == [1, 2, 4, 5]
 
     def test_upsample_cycles(self):
         import jax.numpy as jnp
 
-        pts = jnp.arange(5, dtype=jnp.float32)[:, None]
-        valid = jnp.asarray([1, 0, 1, 0, 0], bool)
-        out = np.asarray(_select_fixed(pts, valid, 6))[:, 0]
+        pts = jnp.arange(5, dtype=jnp.float32)[None, :, None]
+        valid = jnp.asarray([[1, 0, 1, 0, 0]], bool)
+        out = np.asarray(_select_fixed(pts, valid, 6))[0, :, 0]
         assert out.tolist() == [0, 2, 0, 2, 0, 2]
 
-    def test_empty_returns_zeros(self):
+    def test_empty_row_returns_zeros(self):
         import jax.numpy as jnp
 
-        pts = jnp.ones((4, 3), jnp.float32)
-        valid = jnp.zeros(4, bool)
+        # batch of 2: row 0 empty, row 1 has one valid point
+        pts = jnp.ones((2, 4, 3), jnp.float32)
+        valid = jnp.asarray([[0, 0, 0, 0], [0, 1, 0, 0]], bool)
         out = np.asarray(_select_fixed(pts, valid, 8))
-        assert np.all(out == 0)
+        assert np.all(out[0] == 0)
+        assert np.all(out[1] == 1)
+
+    def test_batched_matches_per_row(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.normal(size=(3, 20, 3)), jnp.float32)
+        valid = jnp.asarray(rng.random((3, 20)) > 0.4)
+        batched = np.asarray(_select_fixed(pts, valid, 8))
+        for b in range(3):
+            single = np.asarray(_select_fixed(pts[b : b + 1], valid[b : b + 1], 8))[0]
+            assert np.array_equal(batched[b], single)
 
 
 class TestScanTracker:
@@ -84,6 +97,18 @@ class TestScanTracker:
         )
         assert 0.0 <= succ <= 100.0
         assert 0.0 <= prec <= 100.0
+
+    def test_batched_matches_single(self, setup):
+        """A batch of 2 tracklets must produce the same boxes as two
+        single-tracklet dispatches."""
+        cfg, model, variables = setup
+        sampler = get_dataset(cfg, "test", "test")
+        tr = M2ScanTracker(model, variables, cfg, max_points=1024)
+        seqs = [sampler[0], sampler[1]]
+        batched = tr.track_batch(seqs)
+        singles = [tr.track_batch([s])[0] for s in seqs]
+        for b, s in zip(batched, singles):
+            assert np.allclose(b, s, atol=1e-4)
 
     def test_close_to_host_path(self, setup):
         """Scan path must closely track the host fidelity path; resampling
