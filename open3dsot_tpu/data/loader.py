@@ -31,14 +31,21 @@ class BatchLoader:
     """
 
     def __init__(self, sampler, batch_size: int, shuffle: bool = True,
-                 drop_last: bool = True, seed: int = 0, prefetch: int = 2):
+                 drop_last: bool = True, seed: int = 0, prefetch: int = 2,
+                 workers: int = 0):
         self.sampler = sampler
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.workers = workers
         self.epoch = 0
+        self._pool = None
+        if workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=workers)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -60,7 +67,11 @@ class BatchLoader:
         nb = len(self)
         for b in range(nb):
             chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
-            yield collate([self.sampler[int(i)] for i in chunk])
+            if self._pool is not None:
+                samples = list(self._pool.map(self.sampler.__getitem__, map(int, chunk)))
+            else:
+                samples = [self.sampler[int(i)] for i in chunk]
+            yield collate(samples)
 
     def __iter__(self) -> Iterator[dict]:
         if self.prefetch <= 0:

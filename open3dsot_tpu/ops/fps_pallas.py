@@ -46,23 +46,34 @@ def _fps_kernel(npoint: int, xyz_ref, out_ref, mind_ref):
 
 
 def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
-    """xyz (B, N, 3) -> (B, npoint) int32, CUDA-parity FPS on TPU."""
+    """xyz (B, N, 3) -> (B, npoint) int32, CUDA-parity FPS on TPU.
+
+    Pads B to the 8-sublane block, N and npoint to 128-lane multiples
+    (N-padding duplicates point 0, which FPS can only pick after every
+    distinct point — preserving reference semantics for npoint <= N).
+    """
     B, N, _ = xyz.shape
     B_pad = -(-B // _BB) * _BB
+    # min 256 lanes: a single 128-lane tile trips a Mosaic lowering bug here
+    N_pad = max(256, -(-N // 128) * 128)
+    np_pad = max(128, -(-npoint // 128) * 128)
     xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (B, 3, N)
+    if N_pad != N:
+        dup = jnp.broadcast_to(xyz_t[:, :, 0:1], (B, 3, N_pad - N))
+        xyz_t = jnp.concatenate([xyz_t, dup], axis=2)
     if B_pad != B:
         xyz_t = jnp.concatenate(
-            [xyz_t, jnp.zeros((B_pad - B, 3, N), jnp.float32)], axis=0
+            [xyz_t, jnp.zeros((B_pad - B, 3, N_pad), jnp.float32)], axis=0
         )
 
     out = pl.pallas_call(
-        lambda x_ref, o_ref, m_ref: _fps_kernel(npoint, x_ref, o_ref, m_ref),
-        out_shape=jax.ShapeDtypeStruct((B_pad, npoint), jnp.int32),
+        lambda x_ref, o_ref, m_ref: _fps_kernel(np_pad, x_ref, o_ref, m_ref),
+        out_shape=jax.ShapeDtypeStruct((B_pad, np_pad), jnp.int32),
         grid=(B_pad // _BB,),
         in_specs=[
-            pl.BlockSpec((_BB, 3, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((_BB, 3, N_pad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((_BB, npoint), lambda b: (b, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((_BB, N), jnp.float32)],
+        out_specs=pl.BlockSpec((_BB, np_pad), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((_BB, N_pad), jnp.float32)],
     )(xyz_t)
-    return jax.lax.stop_gradient(out[:B])
+    return jax.lax.stop_gradient(out[:B, :npoint])

@@ -1,0 +1,185 @@
+"""On-device batched tracklet tracker for the matching models (P2B / BAT).
+
+Mirrors the eval semantics of MatchingBaseModel
+(/root/reference/models/base_model.py:166-247) with shape_aggregation
+'firstandprevious' and reference_BB 'previous_result' (the shipped configs),
+but runs the whole tracklet on device in one `lax.scan`:
+
+- the first-frame template crop is CONSTANT per tracklet (results_bbs[0] is
+  the gt box), so it is cropped once on the host and carried as a fixed
+  padded buffer;
+- per step, the previous frame is cropped+canonicalized around the carried
+  predicted box (cropAndCenterPC semantics: canonical AABB with
+  model_bb_scale/offset), merged with the first-frame crop, and resampled to
+  template_size; the search region crops the current frame with
+  search_bb_scale/offset to search_size;
+- BAT additionally computes the template BoxCloud against the canonical
+  model box on device (bat.py:41-55);
+- the argmax-objectness proposal composes onto the carried box (degrees /
+  use_z handled; requires limit_box=False — the shipped BAT configs — since
+  the reference's limit_box branch re-draws offsets with host RNG).
+
+Resampling uses the deterministic cyclic fill (see scan_tracker.py notes);
+use tracking/eval.py for seeded-RNG fidelity.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from open3dsot_tpu.geometry import points_utils, rigid
+from open3dsot_tpu.geometry.data_classes import Box
+from open3dsot_tpu.geometry.iou import estimateAccuracy, estimateOverlap
+from open3dsot_tpu.geometry.quaternion import Quaternion
+from open3dsot_tpu.tracking.scan_tracker import _select_fixed
+
+
+class MatchScanTracker:
+    """Batched on-device tracker for P2B/BAT ('firstandprevious' templates)."""
+
+    def __init__(self, model, variables, config, max_points: int = 4096,
+                 first_crop_points: int = 1024, frame_bucket: int = 16):
+        assert not getattr(config, "limit_box", False), (
+            "scan path requires limit_box: False (host RNG re-draw not "
+            "supported on device); use tracking/eval.py instead"
+        )
+        assert "FIRSTANDPREVIOUS" in config.shape_aggregation.upper()
+        assert "PREVIOUS_RESULT" in config.reference_BB.upper()
+        self.model = model
+        self.variables = variables
+        self.config = config
+        self.max_points = max_points
+        self.first_crop_points = first_crop_points
+        self.frame_bucket = frame_bucket
+        self.is_bat = hasattr(model.net, "bc_channel") or model.name == "bat"
+
+        m_scale = float(config.model_bb_scale)
+        m_offset = float(config.model_bb_offset)
+        s_scale = float(config.search_bb_scale)
+        s_offset = float(config.search_bb_offset)
+        t_size = int(config.template_size)
+        s_size = int(config.search_size)
+        degrees = bool(config.degrees)
+        use_z = bool(config.use_z)
+
+        def crop_local(pts, pad_valid, ref_box, half):
+            local = rigid.remove_transform_points(pts, ref_box)
+            inside = jnp.all(
+                (local < half[:, None, :]) & (local > -half[:, None, :]), axis=-1
+            )
+            return local, inside & pad_valid
+
+        def step(variables, wlh, first_pts, first_valid, carry, xs):
+            ref_box = carry  # (B, 4)
+            prev_pts, prev_valid, this_pts, this_valid = xs
+            B = ref_box.shape[0]
+            half_wlh = jnp.stack([wlh[:, 1], wlh[:, 0], wlh[:, 2]], axis=-1) / 2.0
+
+            # template = first-frame crop (constant) U prev-frame crop
+            m_half = half_wlh * m_scale + m_offset
+            prev_local, prev_ok = crop_local(prev_pts, prev_valid, ref_box, m_half)
+            merged_pts = jnp.concatenate([first_pts, prev_local], axis=1)
+            merged_ok = jnp.concatenate([first_valid, prev_ok], axis=1)
+            template = _select_fixed(merged_pts, merged_ok, t_size)  # (B, t, 3)
+
+            # search region around the carried box
+            s_half = half_wlh * s_scale + s_offset
+            this_local, this_ok = crop_local(this_pts, this_valid, ref_box, s_half)
+            search = _select_fixed(this_local, this_ok, s_size)  # (B, s, 3)
+
+            batch = {"template_points": template, "search_points": search}
+            if self.is_bat:
+                canonical = jnp.zeros((B, 4), template.dtype)
+                batch["points2cc_dist_t"] = rigid.box_cloud(template, canonical, wlh)
+
+            output = model.apply(variables, batch, train=False)
+            boxes = output["estimation_boxes"]  # (B, K, 5)
+            best = jnp.argmax(boxes[:, :, 4], axis=1)  # (B,)
+            est = jnp.take_along_axis(boxes, best[:, None, None], axis=1)[:, 0, :4]
+            theta = jnp.deg2rad(est[:, 3]) if degrees else est[:, 3]
+            dz = est[:, 2] if use_z else jnp.zeros_like(est[:, 2])
+            offset = jnp.stack([est[:, 0], est[:, 1], dz, theta], axis=-1)
+            new_ref = rigid.get_offset_box(ref_box, offset)
+            return new_ref, new_ref
+
+        def track_fn(variables, pts, valid, wlh, init_box, first_pts, first_valid):
+            xs = (
+                jnp.swapaxes(pts[:, :-1], 0, 1),
+                jnp.swapaxes(valid[:, :-1], 0, 1),
+                jnp.swapaxes(pts[:, 1:], 0, 1),
+                jnp.swapaxes(valid[:, 1:], 0, 1),
+            )
+            _, boxes = jax.lax.scan(
+                partial(step, variables, wlh, first_pts, first_valid), init_box, xs
+            )
+            return jnp.swapaxes(boxes, 0, 1)  # (B, T-1, 4)
+
+        self._track = jax.jit(track_fn)
+
+    # --- host driver ------------------------------------------------------
+    def _bucket_len(self, T: int) -> int:
+        return max(2, -(-T // self.frame_bucket) * self.frame_bucket)
+
+    def track_batch(self, sequences: Sequence[list]) -> List[np.ndarray]:
+        B = len(sequences)
+        T_pad = max(self._bucket_len(len(s)) for s in sequences)
+        P, P1 = self.max_points, self.first_crop_points
+        cfg = self.config
+        pts = np.zeros((B, T_pad, P, 3), np.float32)
+        valid = np.zeros((B, T_pad, P), bool)
+        first_pts = np.zeros((B, P1, 3), np.float32)
+        first_valid = np.zeros((B, P1), bool)
+        wlh = np.zeros((B, 3), np.float32)
+        init = np.zeros((B, 4), np.float32)
+        for b, seq in enumerate(sequences):
+            first_box = seq[0]["3d_bbox"]
+            wlh[b] = first_box.wlh
+            theta0 = first_box.orientation.radians * first_box.orientation.axis[-1]
+            init[b] = np.append(first_box.center, theta0)
+            # constant first-frame template crop (host, once per tracklet)
+            crop, _ = points_utils.cropAndCenterPC(
+                seq[0]["pc"], first_box,
+                scale=cfg.model_bb_scale, offset=cfg.model_bb_offset,
+            )
+            fp = crop.points.T.astype(np.float32)[:P1]
+            first_pts[b, : len(fp)] = fp
+            first_valid[b, : len(fp)] = True
+            for t, frame in enumerate(seq):
+                p = frame["pc"].points.T.astype(np.float32)
+                if len(p) > P:
+                    d = np.max(np.abs(p - first_box.center[None, :]), axis=1)
+                    p = p[np.argsort(d, kind="stable")[:P]]
+                pts[b, t, : len(p)] = p
+                valid[b, t, : len(p)] = True
+        boxes = np.asarray(
+            self._track(
+                self.variables,
+                jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(wlh),
+                jnp.asarray(init), jnp.asarray(first_pts), jnp.asarray(first_valid),
+            )
+        )
+        return [boxes[b, : len(seq) - 1] for b, seq in enumerate(sequences)]
+
+    def evaluate_one_sequence(self, sequence, config):
+        boxes = self.track_batch([sequence])[0]
+        first_box = sequence[0]["3d_bbox"]
+        results_bbs = [first_box]
+        for t in range(len(sequence) - 1):
+            cx, cy, cz, th = (float(v) for v in boxes[t])
+            results_bbs.append(
+                Box([cx, cy, cz], first_box.wlh.tolist(),
+                    Quaternion(axis=[0, 0, 1], radians=th))
+            )
+        ious, distances = [], []
+        for t, frame in enumerate(sequence):
+            gt = frame["3d_bbox"]
+            ious.append(estimateOverlap(gt, results_bbs[t], dim=config.IoU_space,
+                                        up_axis=config.up_axis))
+            distances.append(estimateAccuracy(gt, results_bbs[t], dim=config.IoU_space,
+                                              up_axis=config.up_axis))
+        return ious, distances, results_bbs

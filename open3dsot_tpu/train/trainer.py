@@ -126,7 +126,8 @@ class Trainer:
         cfg = self.config
         epochs = epochs if epochs is not None else cfg.epoch
         loader = BatchLoader(
-            train_sampler, cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.seed
+            train_sampler, cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.seed,
+            workers=getattr(cfg, "workers", 0) or 0,
         )
         spe = steps_per_epoch or max(len(loader), 1)
         optimizer = make_optimizer(cfg, spe)

@@ -15,7 +15,7 @@ import torch.nn as tnn  # noqa: E402
 
 import jax  # noqa: E402
 
-from open3dsot_tpu.import_torch import ImportMap, import_m2track  # noqa: E402
+from open3dsot_tpu.import_torch import ImportMap  # noqa: E402
 
 
 def make_torch_mini_pointnet(in_ch, per_point, hidden):
@@ -183,9 +183,6 @@ class TestFullM2TrackImport:
         # build torch replicas of each submodule to harvest a full state dict
         torch.manual_seed(3)
         bc = 9
-        mods = {
-            "seg_pointnet": None,  # assembled below
-        }
         seg = TestSegPointNetParity().make_torch_seg(5 + bc, [64, 64, 64, 128, 1024], [512, 256, 128, 128], 2 + bc)
         mini = make_torch_mini_pointnet(4 + bc, [64, 128, 256, 512], [512, 256])
         mini2 = make_torch_mini_pointnet(3 + bc, [64, 128, 256, 512], [512, 256])

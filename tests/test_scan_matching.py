@@ -1,0 +1,86 @@
+"""Matching-model (P2B/BAT) on-device scan tracker."""
+
+import jax
+import numpy as np
+import pytest
+
+from open3dsot_tpu.config import make_config
+from open3dsot_tpu.data import get_dataset
+from open3dsot_tpu.models import get_model
+from open3dsot_tpu.tracking.scan_matching import MatchScanTracker
+
+
+def cfg_for(net, **over):
+    base = dict(
+        dataset="synthetic",
+        net_model=net,
+        category_name="Car",
+        search_bb_scale=1.25,
+        search_bb_offset=2,
+        model_bb_scale=1.25,
+        model_bb_offset=0,
+        template_size=64,
+        search_size=128,
+        degrees=True,
+        up_axis=[0, 0, 1],
+        data_limit_box=False,
+        train_type="train_siamese",
+        num_candidates=1,
+        box_aware=(net == "bat"),
+        use_fps=(net == "bat"),
+        normalize_xyz=False,
+        feature_channel=32,
+        hidden_channel=32,
+        out_channel=32,
+        vote_channel=32,
+        num_proposal=16,
+        k=4,
+        bc_channel=9,
+        reference_BB="previous_result",
+        shape_aggregation="firstandprevious",
+        use_z=True,
+        limit_box=False,
+        IoU_space=3,
+        syn_num_tracklets=2,
+        syn_tracklet_len=4,
+        seed=0,
+    )
+    base.update(over)
+    return make_config(base)
+
+
+@pytest.mark.parametrize("net", ["p2b", "bat"])
+class TestMatchScanTracker:
+    def test_runs_and_scores(self, net):
+        cfg = cfg_for(net)
+        model = get_model(net)(cfg)
+        variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
+        sampler = get_dataset(cfg, "test", "test")
+        tracker = MatchScanTracker(model, variables, cfg, max_points=1024,
+                                   first_crop_points=256)
+        ious, distances, boxes = tracker.evaluate_one_sequence(sampler[0], cfg)
+        assert len(ious) == len(sampler[0])
+        assert all(0.0 <= v <= 1.0 for v in ious)
+        assert len(boxes) == len(sampler[0])
+
+    def test_batched_matches_single(self, net):
+        cfg = cfg_for(net)
+        model = get_model(net)(cfg)
+        variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
+        sampler = get_dataset(cfg, "test", "test")
+        tracker = MatchScanTracker(model, variables, cfg, max_points=1024,
+                                   first_crop_points=256)
+        seqs = [sampler[0], sampler[1]]
+        batched = tracker.track_batch(seqs)
+        singles = [tracker.track_batch([s])[0] for s in seqs]
+        for b, s in zip(batched, singles):
+            assert np.allclose(b, s, atol=1e-4)
+
+
+class TestGuards:
+    def test_rejects_limit_box(self):
+        cfg = cfg_for("p2b", limit_box=True)
+        model = get_model("p2b")(cfg)
+        variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
+        with pytest.raises(AssertionError):
+            MatchScanTracker(model, variables, cfg)
