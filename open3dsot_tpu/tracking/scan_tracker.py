@@ -65,12 +65,13 @@ class M2ScanTracker:
     """Batched on-device tracker for M2-Track (B tracklets per dispatch)."""
 
     def __init__(self, model, variables, config, max_points: int = 4096,
-                 frame_bucket: int = 16):
+                 frame_bucket: int = 16, mesh=None):
         self.model = model
         self.variables = variables
         self.config = config
         self.max_points = max_points
         self.frame_bucket = frame_bucket
+        self.mesh = mesh
         self.box_aware = bool(getattr(config, "box_aware", False))
         n = config.point_sample_size
         scale, offset = float(config.bb_scale), float(config.bb_offset)
@@ -144,7 +145,21 @@ class M2ScanTracker:
             _, boxes = jax.lax.scan(partial(step, variables, wlh), init_box, xs)
             return jnp.swapaxes(boxes, 0, 1)  # (B, T-1, 4)
 
-        self._track = jax.jit(track_fn)
+        if mesh is None:
+            self._track = jax.jit(track_fn)
+            self._mesh_size = 1
+        else:
+            # shard the tracklet batch over the 'data' mesh axis: the serial
+            # frame recurrence stays local, B/num_devices tracklets per chip
+            from open3dsot_tpu.parallel import batch_sharding, replicated_sharding
+
+            repl, data = replicated_sharding(mesh), batch_sharding(mesh)
+            self._track = jax.jit(
+                track_fn,
+                in_shardings=(repl, data, data, data, data),
+                out_shardings=data,
+            )
+            self._mesh_size = mesh.devices.size
 
     # --- host-side driver -------------------------------------------------
     def _pad_frames(self, sequence, T_pad):
@@ -171,6 +186,10 @@ class M2ScanTracker:
 
         Returns a list of (T_i - 1, 4) world-frame box parameter arrays.
         """
+        B_real = len(sequences)
+        # pad the batch to a mesh-divisible size by repeating the last tracklet
+        pad = (-B_real) % self._mesh_size
+        sequences = list(sequences) + [sequences[-1]] * pad
         B = len(sequences)
         T_pad = max(self._bucket_len(len(s)) for s in sequences)
         P = self.max_points
@@ -193,7 +212,7 @@ class M2ScanTracker:
                 jnp.asarray(init),
             )
         )
-        return [boxes[b, : len(seq) - 1] for b, seq in enumerate(sequences)]
+        return [boxes[b, : len(seq) - 1] for b, seq in enumerate(sequences[:B_real])]
 
     def _score(self, sequence, box_params, config):
         first_box = sequence[0]["3d_bbox"]

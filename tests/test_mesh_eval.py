@@ -1,0 +1,57 @@
+"""Mesh-sharded scan-tracker eval on the 8-virtual-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from open3dsot_tpu.config import make_config
+from open3dsot_tpu.data import get_dataset
+from open3dsot_tpu.models import get_model
+from open3dsot_tpu.parallel import make_mesh
+from open3dsot_tpu.tracking.scan_tracker import M2ScanTracker
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = make_config(
+        dict(
+            dataset="synthetic",
+            net_model="m2track",
+            category_name="Car",
+            bb_scale=1.25,
+            bb_offset=2,
+            point_sample_size=64,
+            degrees=False,
+            up_axis=[0, 0, 1],
+            data_limit_box=True,
+            train_type="train_motion",
+            motion_threshold=0.15,
+            box_aware=False,
+            use_z=True,
+            limit_box=False,
+            IoU_space=3,
+            syn_num_tracklets=4,
+            syn_tracklet_len=4,
+            seed=0,
+        )
+    )
+    model = get_model("m2track")(cfg)
+    variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
+    return cfg, model, variables
+
+
+class TestMeshScanEval:
+    def test_sharded_matches_unsharded(self, setup):
+        cfg, model, variables = setup
+        assert len(jax.devices()) >= 8
+        sampler = get_dataset(cfg, "test", "test")
+        seqs = [sampler[i] for i in range(4)]
+
+        plain = M2ScanTracker(model, variables, cfg, max_points=512)
+        mesh = make_mesh(8)
+        sharded = M2ScanTracker(model, variables, cfg, max_points=512, mesh=mesh)
+
+        a = plain.track_batch(seqs)
+        b = sharded.track_batch(seqs)  # batch 4 padded to 8 across devices
+        for x, y in zip(a, b):
+            assert np.allclose(x, y, atol=1e-4)
