@@ -34,6 +34,10 @@ def parse_args():
                         help="cap eval tracklets (debug)")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="use only the first N local devices")
+    parser.add_argument("--tracker", type=str, default="host",
+                        choices=["host", "scan"],
+                        help="eval path: 'host' = per-frame fidelity loop, "
+                             "'scan' = batched on-device lax.scan tracker")
     return parser.parse_args()
 
 
@@ -69,10 +73,28 @@ def main():
             print("WARNING: no --checkpoint given; evaluating random init")
             variables = init_variables(model, jax.random.PRNGKey(cfg.seed))
         test_sampler = get_dataset(cfg, "test", cfg.test_split)
-        succ, prec = evaluate_dataset(
-            model, variables, test_sampler, cfg,
-            max_tracklets=args.max_tracklets, verbose=True,
-        )
+        if args.tracker == "scan":
+            if cfg.net_model.lower() == "m2track":
+                from open3dsot_tpu.tracking.scan_tracker import evaluate_dataset_scan
+
+                succ, prec = evaluate_dataset_scan(
+                    model, variables, test_sampler, cfg,
+                    max_tracklets=args.max_tracklets,
+                )
+            else:
+                from open3dsot_tpu.tracking.scan_matching import (
+                    evaluate_dataset_scan_matching,
+                )
+
+                succ, prec = evaluate_dataset_scan_matching(
+                    model, variables, test_sampler, cfg,
+                    max_tracklets=args.max_tracklets,
+                )
+        else:
+            succ, prec = evaluate_dataset(
+                model, variables, test_sampler, cfg,
+                max_tracklets=args.max_tracklets, verbose=True,
+            )
         print(f"success/test: {succ:.2f}  precision/test: {prec:.2f}")
         return
 

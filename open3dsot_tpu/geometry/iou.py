@@ -26,8 +26,9 @@ def _clip_polygon(subject: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarr
     if len(subject) == 0:
         return subject
     edge = b - a
-    # signed cross product: >0 means left of (inside for a ccw clip polygon)
-    d = np.cross(edge, subject - a)
+    # signed 2D cross product: >0 means left of (inside for a ccw clip polygon)
+    rel = subject - a
+    d = edge[0] * rel[:, 1] - edge[1] * rel[:, 0]
     out = []
     n = len(subject)
     for i in range(n):
@@ -72,7 +73,8 @@ def box_to_poly(box, up_axis=(0, -1, 0)) -> np.ndarray:
     if up_axis[1] != 0:
         return box.corners()[[0, 2]].T[[0, 1, 5, 4]]
     elif up_axis[2] != 0:
-        return box.bottom_corners().T
+        # bottom corners are 3D; shapely ignores the constant z — project to xy
+        return box.bottom_corners().T[:, :2]
     raise ValueError(f"unsupported up_axis {up_axis}")
 
 

@@ -152,7 +152,10 @@ class MatchScanTracker:
             for t, frame in enumerate(seq):
                 p = frame["pc"].points.T.astype(np.float32)
                 if len(p) > P:
-                    d = np.max(np.abs(p - first_box.center[None, :]), axis=1)
+                    # see scan_tracker._pad_frames: median tracks the object
+                    # in preload-cropped frames
+                    center = np.median(p, axis=0, keepdims=True)
+                    d = np.max(np.abs(p - center), axis=1)
                     p = p[np.argsort(d, kind="stable")[:P]]
                 pts[b, t, : len(p)] = p
                 valid[b, t, : len(p)] = True
@@ -165,21 +168,58 @@ class MatchScanTracker:
         )
         return [boxes[b, : len(seq) - 1] for b, seq in enumerate(sequences)]
 
+    def evaluate_sequences(self, sequences, config):
+        all_boxes = self.track_batch(sequences)
+        return [
+            _score(seq, boxes, config) for seq, boxes in zip(sequences, all_boxes)
+        ]
+
     def evaluate_one_sequence(self, sequence, config):
-        boxes = self.track_batch([sequence])[0]
-        first_box = sequence[0]["3d_bbox"]
-        results_bbs = [first_box]
-        for t in range(len(sequence) - 1):
-            cx, cy, cz, th = (float(v) for v in boxes[t])
-            results_bbs.append(
-                Box([cx, cy, cz], first_box.wlh.tolist(),
-                    Quaternion(axis=[0, 0, 1], radians=th))
-            )
-        ious, distances = [], []
-        for t, frame in enumerate(sequence):
-            gt = frame["3d_bbox"]
-            ious.append(estimateOverlap(gt, results_bbs[t], dim=config.IoU_space,
-                                        up_axis=config.up_axis))
-            distances.append(estimateAccuracy(gt, results_bbs[t], dim=config.IoU_space,
-                                              up_axis=config.up_axis))
-        return ious, distances, results_bbs
+        return self.evaluate_sequences([sequence], config)[0]
+
+
+def _score(sequence, boxes, config):
+    first_box = sequence[0]["3d_bbox"]
+    results_bbs = [first_box]
+    for t in range(len(sequence) - 1):
+        cx, cy, cz, th = (float(v) for v in boxes[t])
+        results_bbs.append(
+            Box([cx, cy, cz], first_box.wlh.tolist(),
+                Quaternion(axis=[0, 0, 1], radians=th))
+        )
+    ious, distances = [], []
+    for t, frame in enumerate(sequence):
+        gt = frame["3d_bbox"]
+        ious.append(estimateOverlap(gt, results_bbs[t], dim=config.IoU_space,
+                                    up_axis=config.up_axis))
+        distances.append(estimateAccuracy(gt, results_bbs[t], dim=config.IoU_space,
+                                          up_axis=config.up_axis))
+    return ious, distances, results_bbs
+
+
+def evaluate_dataset_scan_matching(model, variables, test_sampler, config,
+                                   max_points: int = 4096,
+                                   batch_tracklets: int = 8,
+                                   max_tracklets: Optional[int] = None):
+    """Batched scan eval over a whole dataset; returns (success, precision)."""
+    from collections import defaultdict
+
+    from open3dsot_tpu.utils.metrics import Precision, Success
+
+    tracker = MatchScanTracker(model, variables, config, max_points=max_points)
+    success, precision = Success(), Precision()
+    n = len(test_sampler)
+    if max_tracklets is not None:
+        n = min(n, max_tracklets)
+    buckets = defaultdict(list)
+    for i in range(n):
+        seq = test_sampler[i]
+        buckets[tracker._bucket_len(len(seq))].append(seq)
+    for _, seqs in sorted(buckets.items()):
+        for j in range(0, len(seqs), batch_tracklets):
+            for ious, distances, _ in tracker.evaluate_sequences(
+                seqs[j : j + batch_tracklets], config
+            ):
+                success.update(ious)
+                precision.update(distances)
+    return success.compute(), precision.compute()

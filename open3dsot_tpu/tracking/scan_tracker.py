@@ -166,12 +166,13 @@ class M2ScanTracker:
         P = self.max_points
         pts = np.zeros((T_pad, P, 3), np.float32)
         valid = np.zeros((T_pad, P), bool)
-        ref_box0 = sequence[0]["3d_bbox"]
         for t, frame in enumerate(sequence):
             p = frame["pc"].points.T.astype(np.float32)  # (M, 3)
             if len(p) > P:
-                # keep the P points nearest the first box (generous window)
-                center = ref_box0.center[None, :]
+                # cap at the P points nearest the frame cloud's median — the
+                # standard pipeline preload-crops each frame around its gt box
+                # (kitti.py:180-182) so the median tracks the object
+                center = np.median(p, axis=0, keepdims=True)
                 d = np.max(np.abs(p - center), axis=1)
                 p = p[np.argsort(d, kind="stable")[:P]]
             pts[t, : len(p)] = p

@@ -73,14 +73,22 @@ class TestOverlap:
         assert math.isclose(estimateOverlap(a, b, dim=3, up_axis=(0, 0, 1)), 4 / 12)
 
     def test_camera_mode_y_up(self):
-        b = Box([0, 0, 0], [2, 2, 2], Quaternion(axis=[0, 1, 0], degrees=15))
+        # KITTI camera-mode boxes carry the pi/2 x-rotation (kitti.py:162-165)
+        q = Quaternion(axis=[0, 1, 0], degrees=15) * Quaternion(
+            axis=[1, 0, 0], degrees=90
+        )
+        b = Box([0, 0, 0], [2, 3, 2], q)
         assert math.isclose(estimateOverlap(b, b, dim=2, up_axis=(0, -1, 0)), 1.0)
+        shifted = Box([50, 0, 0], [2, 3, 2], q)
+        assert estimateOverlap(b, shifted, dim=2, up_axis=(0, -1, 0)) == 0.0
 
     def test_accuracy(self):
         a = self.make_box([0, 0, 0])
         b = self.make_box([3, 4, 12])
         assert math.isclose(estimateAccuracy(a, b, dim=3), 13.0)
-        assert math.isclose(estimateAccuracy(a, b, dim=2, up_axis=(0, 0, 1)), 5.0)
+        # reference quirk (metrics.py:31-33): dim=2 selects the component(s)
+        # where up_axis is nonzero — i.e. the VERTICAL distance, |dz| here
+        assert math.isclose(estimateAccuracy(a, b, dim=2, up_axis=(0, 0, 1)), 12.0)
 
 
 class TestAUCMetrics:
