@@ -50,6 +50,10 @@ class MatchScanTracker:
         )
         assert "FIRSTANDPREVIOUS" in config.shape_aggregation.upper()
         assert "PREVIOUS_RESULT" in config.reference_BB.upper()
+        assert config.up_axis[2] != 0, (
+            "scan path assumes z-up (velodyne) boxes; use tracking/eval.py "
+            "for camera-mode configs"
+        )
         self.model = model
         self.variables = variables
         self.config = config

@@ -72,6 +72,10 @@ class M2ScanTracker:
         self.max_points = max_points
         self.frame_bucket = frame_bucket
         self.mesh = mesh
+        assert config.up_axis[2] != 0, (
+            "scan path assumes z-up (velodyne) boxes; use tracking/eval.py "
+            "for camera-mode configs"
+        )
         self.box_aware = bool(getattr(config, "box_aware", False))
         n = config.point_sample_size
         scale, offset = float(config.bb_scale), float(config.bb_offset)

@@ -166,7 +166,8 @@ class TestPointsUtils:
         pc = PointCloud(pts.astype(float))
         sub = points_utils.generate_subwindow(pc, box, scale=1.25, offset=2)
         # the box center must map to the origin of the subwindow frame
-        assert np.allclose(sub.points[:, 0], 0, atol=1e-9)
+        # (f32 tolerance: the fused native path stores float32)
+        assert np.allclose(sub.points[:, 0], 0, atol=1e-5)
 
     def test_transform_box_roundtrip_theta(self):
         rng = np.random.default_rng(4)
