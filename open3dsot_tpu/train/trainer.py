@@ -125,6 +125,17 @@ class Trainer:
             steps_per_epoch: Optional[int] = None, resume_from: Optional[str] = None):
         cfg = self.config
         epochs = epochs if epochs is not None else cfg.epoch
+        # the global batch must divide evenly over the data mesh axis
+        import math as _math
+
+        n_dev = int(self.mesh.devices.size)
+        if cfg.batch_size % n_dev != 0:
+            usable = _math.gcd(cfg.batch_size, n_dev)
+            print(
+                f"[trainer] batch_size {cfg.batch_size} not divisible by "
+                f"{n_dev} devices; using a {usable}-device mesh"
+            )
+            self.mesh = make_mesh(usable)
         loader = BatchLoader(
             train_sampler, cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.seed,
             workers=getattr(cfg, "workers", 0) or 0,
