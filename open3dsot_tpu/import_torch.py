@@ -65,10 +65,19 @@ class ImportMap:
         w_key, b_key = torch_prefix + ".weight", torch_prefix + ".bias"
         w = self.sd[w_key]
         self.used.add(w_key)
-        _assign(self.params, flax_path + ("kernel",), _w_conv(w) if transpose else w)
+        kernel = _w_conv(w) if transpose else w
+        _assign(self.params, flax_path + ("kernel",), kernel)
         if b_key in self.sd:
             _assign(self.params, flax_path + ("bias",), self.sd[b_key])
             self.used.add(b_key)
+        else:
+            # torch convs suppress the bias when followed by BN
+            # (pytorch_utils.py:90); our Dense always carries one — zero it
+            _assign(
+                self.params,
+                flax_path + ("bias",),
+                np.zeros(kernel.shape[-1], dtype=kernel.dtype),
+            )
 
     def bn(self, torch_prefix: str, flax_path: Tuple[str, ...]):
         _assign(self.params, flax_path + ("scale",), self.sd[torch_prefix + ".weight"])
