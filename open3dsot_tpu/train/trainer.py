@@ -146,12 +146,14 @@ class Trainer:
         state = create_train_state(self.model, rng, optimizer)
         start_epoch = 0
         if resume_from is not None:
-            restored = self.load_checkpoint(resume_from)
+            restored = self.load_checkpoint(resume_from, opt_state_like=state.opt_state)
             state = state.replace(
                 params=restored["params"],
                 batch_stats=restored["batch_stats"],
                 step=jnp.asarray(restored.get("step", 0), jnp.int32),
             )
+            if restored.get("opt_state") is not None:
+                state = state.replace(opt_state=restored["opt_state"])
             start_epoch = int(restored.get("step", 0)) // spe
         train_step = make_train_step(self.model, optimizer, mesh=self.mesh)
 
@@ -205,20 +207,39 @@ class Trainer:
             "params": jax.device_get(state.params),
             "batch_stats": jax.device_get(state.batch_stats),
             "step": jax.device_get(state.step),
+            "opt_state": jax.device_get(state.opt_state),
         }
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
 
     @staticmethod
-    def load_checkpoint(path: str):
+    def load_checkpoint(path: str, opt_state_like=None):
+        """Restore a checkpoint. `opt_state_like` (an optimizer.init pytree)
+        lets orbax rebuild the optax namedtuple structure; without it the
+        optimizer state is skipped."""
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        payload = ckptr.restore(os.path.abspath(path))
+        path = os.path.abspath(path)
+        opt_state = None
+        payload = ckptr.restore(path)
+        if opt_state_like is not None and "opt_state" in payload:
+            try:
+                template = {
+                    "params": None,
+                    "batch_stats": None,
+                    "step": None,
+                    "opt_state": jax.tree_util.tree_map(np.asarray, opt_state_like),
+                }
+                typed = ckptr.restore(path, template)
+                opt_state = typed["opt_state"]
+            except Exception:
+                opt_state = None  # structure changed; fall back to fresh opt
         return {
             "params": payload["params"],
             "batch_stats": payload["batch_stats"],
             "step": payload.get("step", 0),
+            "opt_state": opt_state,
         }
 
     def _log(self, info: dict):
