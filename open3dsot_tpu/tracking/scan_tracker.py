@@ -65,8 +65,18 @@ class M2ScanTracker:
     """Batched on-device tracker for M2-Track (B tracklets per dispatch)."""
 
     def __init__(self, model, variables, config, max_points: int = 4096,
-                 frame_bucket: int = 16, mesh=None):
+                 frame_bucket: int = 16, mesh=None, compute_dtype=None):
         self.model = model
+        if compute_dtype is not None:
+            # cast the whole model (params + BN stats) to the compute dtype;
+            # geometry/box composition below stays f32
+            variables = jax.tree_util.tree_map(
+                lambda x: x.astype(compute_dtype)
+                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                else x,
+                variables,
+            )
+        self.compute_dtype = compute_dtype
         self.variables = variables
         self.config = config
         self.max_points = max_points
@@ -130,9 +140,12 @@ class M2ScanTracker:
                 batch["candidate_bc"] = jnp.concatenate(
                     [bc_prev, jnp.zeros_like(bc_prev)], axis=1
                 )
+            if self.compute_dtype is not None:
+                batch = {k: v.astype(self.compute_dtype) for k, v in batch.items()}
 
             output = model.apply(variables, batch, train=False)
-            pred = output["estimation_boxes"]  # (B, 4) offset in ref frame
+            # box composition stays f32 regardless of the compute dtype
+            pred = output["estimation_boxes"].astype(ref_box.dtype)  # (B, 4)
             new_ref = rigid.get_offset_box(ref_box, pred)
             return new_ref, new_ref
 

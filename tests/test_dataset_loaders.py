@@ -12,7 +12,7 @@ import pickle
 import numpy as np
 import pytest
 
-from open3dsot_tpu.geometry import Quaternion
+
 
 
 # --------------------------------------------------------------------------

@@ -7,7 +7,7 @@ import pytest
 from open3dsot_tpu.config import make_config
 from open3dsot_tpu.data import get_dataset
 from open3dsot_tpu.models import get_model
-from open3dsot_tpu.tracking.eval import Tracker, evaluate_dataset
+from open3dsot_tpu.tracking.eval import Tracker
 from open3dsot_tpu.tracking.scan_tracker import (
     M2ScanTracker,
     _select_fixed,
