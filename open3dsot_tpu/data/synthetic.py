@@ -37,7 +37,10 @@ class SyntheticDataset(BaseDataset):
     def __init__(self, split="train", num_tracklets=4, tracklet_len=8, seed=42,
                  category_name="Car", **kwargs):
         super().__init__(path=None, split=split, category_name=category_name, **kwargs)
-        rng = np.random.default_rng(seed + (hash(split) % 1000))
+        import zlib
+
+        # deterministic across processes (python str hash is salted)
+        rng = np.random.default_rng(seed + (zlib.crc32(split.encode()) % 1000))
         self.tracklets = []
         for _ in range(num_tracklets):
             wlh = rng.uniform([1.5, 3.2, 1.4], [2.0, 4.5, 1.8])

@@ -91,7 +91,13 @@ def estimateAccuracy(box_a, box_b, dim=3, up_axis=(0, -1, 0)) -> float:
 
 
 def estimateOverlap(box_a, box_b, dim=2, up_axis=(0, -1, 0)) -> float:
-    """BEV or volume IoU (reference metrics.py:49-72)."""
+    """BEV or volume IoU (reference metrics.py:49-72).
+
+    Non-finite box parameters (a diverged tracker) score 0, mirroring the
+    reference's except-ValueError->0 behavior with shapely.
+    """
+    if not (np.all(np.isfinite(box_a.center)) and np.all(np.isfinite(box_b.center))):
+        return 0.0
     try:
         poly_a = box_to_poly(box_a, up_axis)
         poly_b = box_to_poly(box_b, up_axis)
@@ -100,9 +106,10 @@ def estimateOverlap(box_a, box_b, dim=2, up_axis=(0, -1, 0)) -> float:
         area_b = polygon_area(poly_b)
         union_area = area_a + area_b - inter_area
         if dim == 2:
-            if union_area <= 0:
+            if union_area <= 0 or not np.isfinite(union_area):
                 return 0.0
-            return inter_area / union_area
+            # fp wobble in the polygon clip can land an epsilon above 1
+            return float(min(inter_area / union_area, 1.0))
         up = np.array(up_axis)
         up_max = min(box_a.center[up != 0][0], box_b.center[up != 0][0])
         up_min = max(
@@ -112,6 +119,9 @@ def estimateOverlap(box_a, box_b, dim=2, up_axis=(0, -1, 0)) -> float:
         inter_vol = inter_area * max(0.0, up_max - up_min)
         anno_vol = box_a.wlh[0] * box_a.wlh[1] * box_a.wlh[2]
         subm_vol = box_b.wlh[0] * box_b.wlh[1] * box_b.wlh[2]
-        return inter_vol * 1.0 / (anno_vol + subm_vol - inter_vol)
+        overlap = inter_vol * 1.0 / (anno_vol + subm_vol - inter_vol)
+        if not np.isfinite(overlap):
+            return 0.0
+        return float(min(max(overlap, 0.0), 1.0))
     except (ValueError, ZeroDivisionError):
         return 0.0
