@@ -123,6 +123,32 @@ class SetAbstraction(nn.Module):
         return new_xyz, out, sample_idxs
 
 
+class SetAbstractionAll(nn.Module):
+    """GroupAll variant: one group containing every point
+    (pointnet2_utils.py:342-385) — [xyz || features] -> SharedMLP -> max over
+    all N. Kept for layer-library completeness; the three trackers never
+    group-all, same as the reference.
+    """
+
+    mlp: Sequence[int]
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(self, xyz: jnp.ndarray, features: Optional[jnp.ndarray],
+                 train: bool = False):
+        """xyz (B, N, 3), features (B, N, C) -> (new_xyz (B, 1, 3) zeros,
+        new_features (B, 1, mlp[-1]))."""
+        if features is not None:
+            grouped = (
+                jnp.concatenate([xyz, features], axis=-1) if self.use_xyz else features
+            )
+        else:
+            grouped = xyz
+        out = MLP(self.mlp, name="mlp_shared")(grouped[:, None], train=train)
+        out = jnp.max(out, axis=2)  # (B, 1, C')
+        return jnp.zeros((xyz.shape[0], 1, 3), xyz.dtype), out
+
+
 class PointnetBackbone(nn.Module):
     """3-layer SSG PointNet++ encoder (pointnet.py:28-88).
 

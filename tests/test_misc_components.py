@@ -1,0 +1,121 @@
+"""Inventory-tail components: GroupAll SA, visualization writers, searchspace,
+logging, BN momentum schedule."""
+
+import json
+import os
+
+import numpy as np
+
+from open3dsot_tpu.geometry import Box, Quaternion
+
+
+class TestSetAbstractionAll:
+    def test_shapes(self):
+        import jax
+        import jax.numpy as jnp
+
+        from open3dsot_tpu.models.pointnet import SetAbstractionAll
+
+        mod = SetAbstractionAll(mlp=[8, 8])
+        rng = np.random.default_rng(0)
+        xyz = jnp.asarray(rng.normal(size=(2, 16, 3)), jnp.float32)
+        feats = jnp.asarray(rng.normal(size=(2, 16, 4)), jnp.float32)
+        variables = mod.init(jax.random.PRNGKey(0), xyz, feats)
+        new_xyz, out = mod.apply(variables, xyz, feats)
+        assert new_xyz.shape == (2, 1, 3)
+        assert out.shape == (2, 1, 8)
+
+
+class TestVisualization:
+    def box(self):
+        return Box([1, 2, 0], [1.5, 3.5, 1.2], Quaternion(axis=[0, 0, 1], degrees=20))
+
+    def test_write_ply(self, tmp_path):
+        from open3dsot_tpu.utils.visualization import write_ply
+
+        p = str(tmp_path / "cloud.ply")
+        write_ply(np.random.default_rng(0).normal(size=(10, 3)), p)
+        head = open(p).read().splitlines()
+        assert head[0] == "ply"
+        assert "element vertex 10" in head[2]
+
+    def test_write_obj(self, tmp_path):
+        from open3dsot_tpu.utils.visualization import write_obj
+
+        p = str(tmp_path / "cloud")
+        write_obj(np.zeros((4, 3)), p)
+        lines = open(p + ".obj").read().splitlines()
+        assert len(lines) == 4 and lines[0].startswith("v ")
+
+    def test_box2obj(self, tmp_path):
+        from open3dsot_tpu.utils.visualization import box2obj
+
+        p = str(tmp_path / "box.obj")
+        box2obj(self.box(), p)
+        lines = open(p).read().splitlines()
+        assert sum(1 for line in lines if line.startswith("v ")) == 8
+        assert sum(1 for line in lines if line.startswith("f ")) == 6
+
+    def test_write_bbox(self, tmp_path):
+        from open3dsot_tpu.utils.visualization import get_3d_box, write_bbox
+
+        corners = get_3d_box((1.5, 3.5, 1.2), 0.3, (1, 2, 0))
+        assert corners.shape == (8, 3)
+        p = str(tmp_path / "bbox.ply")
+        write_bbox(corners, 0, p)
+        assert open(p).readline().strip() == "ply"
+
+    def test_get_3d_box_matches_box_corners(self):
+        from open3dsot_tpu.utils.visualization import get_3d_box
+
+        b = self.box()
+        theta = b.orientation.radians * b.orientation.axis[-1]
+        got = get_3d_box(b.wlh, theta, b.center)
+        assert np.allclose(got, b.corners().T, atol=1e-9)
+
+
+class TestSearchSpaces:
+    def test_exhaustive_grid(self):
+        from open3dsot_tpu.data.searchspace import ExhaustiveSearch
+
+        g = ExhaustiveSearch(search_dims=[3, 3, 2])
+        assert g.sample().shape == (18, 3)
+
+    def test_particle_filtering_updates(self):
+        from open3dsot_tpu.data.searchspace import ParticleFiltering
+
+        pf = ParticleFiltering()
+        s0 = pf.sample(5)
+        assert s0.shape == (5, 3)
+        pf.addData(s0, np.ones(5))
+        assert pf.sample(4).shape == (4, 3)
+
+    def test_kalman_adapts_mean(self):
+        from open3dsot_tpu.data.searchspace import KalmanFiltering
+
+        kf = KalmanFiltering()
+        data = np.ones((50, 3)) * 2.0 + np.random.default_rng(0).normal(size=(50, 3)) * 0.01
+        kf.addData(data, np.ones(50))
+        assert np.allclose(kf.mean, 2.0, atol=0.1)
+
+
+class TestLogging:
+    def test_jsonl_and_flush(self, tmp_path):
+        from open3dsot_tpu.utils.logging import ScalarLogger
+
+        lg = ScalarLogger(str(tmp_path), enable_tensorboard=False)
+        lg.log_scalars({"a": 1.0, "b": 2.0}, step=3, prefix="x/")
+        lg.flush()
+        rec = json.loads(open(os.path.join(str(tmp_path), "scalars.jsonl")).read())
+        assert rec["x/a"] == 1.0 and rec["step"] == 3
+
+
+class TestBNMomentum:
+    def test_schedule(self):
+        from open3dsot_tpu.train.bn_momentum import bn_momentum_schedule, to_flax_momentum
+
+        sched = bn_momentum_schedule(0.1, 0.5, 10, floor=0.02)
+        assert sched(0) == 0.1
+        assert sched(10) == 0.05
+        assert sched(100) == 0.02
+        assert to_flax_momentum(0.1) == 0.9
