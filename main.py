@@ -94,6 +94,7 @@ def main():
             succ, prec = evaluate_dataset(
                 model, variables, test_sampler, cfg,
                 max_tracklets=args.max_tracklets, verbose=True,
+                shard_across_processes=jax.process_count() > 1,
             )
         print(f"success/test: {succ:.2f}  precision/test: {prec:.2f}")
         return

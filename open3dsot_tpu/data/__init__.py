@@ -25,14 +25,18 @@ def get_dataset(config, type: str = "train_siamese", split: str = "train", **kwa
     elif name == "nuscenes":
         from open3dsot_tpu.data.nuscenes_data import NuScenesDataset
 
+        # reference rules (datasets/__init__.py:17-26): training can only use
+        # keyframes; the min_points filter applies to the val/test splits only
+        is_test = type.lower() == "test"
+        eval_splits = [getattr(config, "val_split", None), getattr(config, "test_split", None)]
         data = NuScenesDataset(
             path=config.path,
             split=split,
             category_name=config.category_name,
             version=getattr(config, "version", "v1.0-trainval"),
-            key_frame_only=getattr(config, "key_frame_only", False),
-            min_points=getattr(config, "min_points", 1),
-            preload_offset=config.preload_offset if "train" in type.lower() else -1,
+            key_frame_only=getattr(config, "key_frame_only", False) if is_test else True,
+            min_points=1 if split in eval_splits else -1,
+            preload_offset=-1 if is_test else config.preload_offset,
             preloading=getattr(config, "preloading", True),
         )
     elif name == "waymo":
@@ -42,7 +46,8 @@ def get_dataset(config, type: str = "train_siamese", split: str = "train", **kwa
             path=config.path,
             split=split,
             category_name=config.category_name,
-            preload_offset=config.preload_offset if "train" in type.lower() else -1,
+            preload_offset=config.preload_offset,
+            preloading=getattr(config, "preloading", True),
             tiny=getattr(config, "tiny", False),
         )
     elif name == "synthetic":
