@@ -21,8 +21,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    """1-D data mesh over the first `num_devices` devices (all by default).
+
+    Raises if fewer devices exist than requested — a multi-chip dry run must
+    never silently degrade to a smaller (vacuous) mesh.
+    """
     devices = jax.devices()
     if num_devices is not None:
+        if len(devices) < num_devices:
+            raise ValueError(
+                f"make_mesh: requested {num_devices} devices but only "
+                f"{len(devices)} available ({jax.default_backend()} backend); "
+                "for a virtual CPU mesh set XLA_FLAGS="
+                "--xla_force_host_platform_device_count before backend init"
+            )
         devices = devices[:num_devices]
     return Mesh(np.array(devices), (axis_name,))
 
