@@ -125,3 +125,23 @@ class TestThreeNN:
         w = jnp.asarray([[[0.5, 0.25, 0.25]]])
         out = np.asarray(three_interpolate(feats, idx, w))
         assert np.allclose(out, [[[0.5 + 0.5 + 1.0]]])
+
+
+def test_ball_query_adversarial_clustered_indices():
+    """The ApproxTopK(recall=1.0) path must stay EXACT when the k smallest
+    in-ball indices are consecutive (the worst case for bucketed top-k —
+    crop ordering makes clustered indices common in real frames)."""
+    import jax.numpy as jnp
+
+    from open3dsot_tpu.ops import ball_query
+    from open3dsot_tpu.ops.reference import ball_query_ref
+
+    rng = np.random.default_rng(3)
+    B, N, S = 4, 1024, 256
+    xyz = np.zeros((B, N, 3), np.float32)
+    xyz[:, :64] = rng.normal(size=(B, 64, 3)) * 0.05       # dense cluster at 0
+    xyz[:, 64:] = rng.normal(size=(B, N - 64, 3)) * 50 + 100  # far away
+    centers = np.zeros((B, S, 3), np.float32)
+    got = np.asarray(ball_query(0.3, 32, jnp.asarray(xyz), jnp.asarray(centers)))
+    want = ball_query_ref(0.3, 32, xyz, centers)
+    np.testing.assert_array_equal(got, want)
