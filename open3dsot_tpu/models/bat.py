@@ -11,12 +11,15 @@ adds points2cc_dist_t (bat.py:41-55).
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
 from open3dsot_tpu.models.layers import MLP
 from open3dsot_tpu.models.losses import smooth_l1
+from open3dsot_tpu.models.matching_base import _compute_dtype  # noqa: E501
 from open3dsot_tpu.models.matching_base import (
     MatchingEvalMixin,
     matching_loss,
@@ -40,15 +43,17 @@ class BATNet(nn.Module):
     use_search_feature: bool = False
     use_fps: bool = True
     normalize_xyz: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, template, search, template_bc, train: bool = False) -> dict:
         """template (B, M, 3), search (B, N, 3), template_bc (B, M, 9)."""
         M, N = template.shape[1], search.shape[1]
         backbone = PointnetBackbone(
-            use_fps=self.use_fps, normalize_xyz=self.normalize_xyz, name="backbone"
+            use_fps=self.use_fps, normalize_xyz=self.normalize_xyz,
+            dtype=self.dtype, name="backbone"
         )
-        conv_final = nn.Dense(self.feature_channel, name="conv_final")
+        conv_final = nn.Dense(self.feature_channel, dtype=self.dtype, name="conv_final")
 
         template_xyz, template_feature, sample_idxs_t = backbone(
             template, [M // 2, M // 4, M // 8], train=train
@@ -61,9 +66,10 @@ class BATNet(nn.Module):
 
         # predict search BoxCloud from xyz || features (bat.py:94-95)
         f = self.feature_channel
-        pred_search_bc = MLP([f, f, self.bc_channel], final_plain=True, name="mlp_bc")(
+        pred_search_bc = MLP([f, f, self.bc_channel], final_plain=True,
+                             dtype=self.dtype, name="mlp_bc")(
             jnp.concatenate([search_xyz, search_feature], axis=-1), train=train
-        )  # (B, N//8, 9)
+        ).astype(jnp.float32)  # (B, N//8, 9); BoxCloud targets regress in f32
         # gather template BoxCloud through the FPS sample idxs (bat.py:96-97)
         template_bc = gather_points(template_bc, sample_idxs_t[:, : M // 8])
 
@@ -73,6 +79,7 @@ class BATNet(nn.Module):
             k=self.k,
             use_search_bc=self.use_search_bc,
             use_search_feature=self.use_search_feature,
+            dtype=self.dtype,
             name="xcorr",
         )(
             template_feature,
@@ -89,6 +96,7 @@ class BATNet(nn.Module):
             vote_channel=self.vote_channel,
             num_proposal=self.num_proposal,
             normalize_xyz=self.normalize_xyz,
+            dtype=self.dtype,
             name="rpn",
         )(search_xyz, fusion_feature, train=train)
 
@@ -119,6 +127,7 @@ class BATModel(MatchingEvalMixin):
             use_search_feature=getattr(config, "use_search_feature", False),
             use_fps=getattr(config, "use_fps", True),
             normalize_xyz=getattr(config, "normalize_xyz", False),
+            dtype=_compute_dtype(config),
         )
 
     def dummy_batch(self, batch_size: int = 2) -> dict:

@@ -7,11 +7,16 @@ batched matmul XLA maps straight onto the MXU — and SharedMLP over
 (B, npoint, nsample, C) grids is the same Dense broadcast over two leading
 axes. BatchNorm matches torch defaults (momentum 0.1 -> flax 0.9, eps 1e-5)
 for checkpoint-import fidelity.
+
+Mixed precision: `dtype=jnp.bfloat16` runs the matmuls/activations in bf16 on
+the MXU while parameters and BatchNorm running statistics stay float32
+(flax's param_dtype default; flax normalization computes batch statistics in
+float32 regardless of dtype).
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -23,14 +28,16 @@ class DenseBNRelu(nn.Module):
     features: int
     bn: bool = True
     activation: bool = True
+    dtype: Any = None  # computation dtype; None = float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nn.Dense(self.features, kernel_init=nn.initializers.kaiming_normal(),
-                     name="dense")(x)
+                     dtype=self.dtype, name="dense")(x)
         if self.bn:
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="bn"
             )(x)
         if self.activation:
             x = nn.relu(x)
@@ -45,6 +52,7 @@ class MLP(nn.Module):
 
     channels: Sequence[int]
     final_plain: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -52,6 +60,7 @@ class MLP(nn.Module):
         for i, ch in enumerate(self.channels):
             plain = self.final_plain and i == n - 1
             x = DenseBNRelu(
-                ch, bn=not plain, activation=not plain, name=f"layer{i}"
+                ch, bn=not plain, activation=not plain, dtype=self.dtype,
+                name=f"layer{i}"
             )(x, train=train)
         return x

@@ -16,7 +16,7 @@ ops — so the whole forward compiles to one XLA program; boxes on device are
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -33,6 +33,7 @@ class M2TrackNet(nn.Module):
     use_motion_cls: bool = True
     use_second_stage: bool = True
     use_prev_refinement: bool = True
+    dtype: Any = None  # bf16 compute; params/BN stats/box math stay f32
 
     @nn.compact
     def __call__(
@@ -54,8 +55,9 @@ class M2TrackNet(nn.Module):
             per_point_mlp1=[64, 64, 64, 128, 1024],
             per_point_mlp2=[512, 256, 128, 128],
             output_size=2 + bc_dim,
+            dtype=self.dtype,
             name="seg_pointnet",
-        )(x, train=train)
+        )(x, train=train).astype(jnp.float32)
         seg_logits = seg_out[..., :2]  # (B, N, 2)
         pred_cls = jnp.argmax(seg_logits, axis=-1, keepdims=True).astype(x.dtype)  # (B,N,1)
         mask_points = x[..., :4] * pred_cls
@@ -71,16 +73,20 @@ class M2TrackNet(nn.Module):
             per_point_mlp=[64, 128, 256, 512],
             hidden_mlp=[512, 256],
             output_size=-1,
+            dtype=self.dtype,
             name="mini_pointnet",
         )(mask_points, train=train)  # (B, 256)
 
-        motion_pred = MLP([128, 128, 4], final_plain=True, name="motion_mlp")(
+        # heads regress boxes/logits: back to f32 for the rigid math + loss
+        motion_pred = MLP([128, 128, 4], final_plain=True, dtype=self.dtype,
+                          name="motion_mlp")(
             point_feature, train=train
-        )
+        ).astype(jnp.float32)
         if self.use_motion_cls:
             motion_state_logits = MLP(
-                [128, 128, 2], final_plain=True, name="motion_state_mlp"
-            )(point_feature, train=train)
+                [128, 128, 2], final_plain=True, dtype=self.dtype,
+                name="motion_state_mlp"
+            )(point_feature, train=train).astype(jnp.float32)
             motion_mask = jnp.argmax(motion_state_logits, axis=-1, keepdims=True).astype(
                 motion_pred.dtype
             )
@@ -90,9 +96,10 @@ class M2TrackNet(nn.Module):
             motion_pred_masked = motion_pred
 
         if self.use_prev_refinement:
-            prev_boxes = MLP([128, 128, 4], final_plain=True, name="final_mlp")(
+            prev_boxes = MLP([128, 128, 4], final_plain=True, dtype=self.dtype,
+                             name="final_mlp")(
                 point_feature, train=train
-            )
+            ).astype(jnp.float32)
             output["estimation_boxes_prev"] = prev_boxes
         else:
             prev_boxes = jnp.zeros_like(motion_pred)
@@ -112,11 +119,13 @@ class M2TrackNet(nn.Module):
                 per_point_mlp=[64, 128, 256, 512],
                 hidden_mlp=[512, 256],
                 output_size=-1,
+                dtype=self.dtype,
                 name="mini_pointnet2",
             )(mask_xyz_t01, train=train)
-            output_offset = MLP([128, 128, 4], final_plain=True, name="box_mlp")(
+            output_offset = MLP([128, 128, 4], final_plain=True, dtype=self.dtype,
+                                name="box_mlp")(
                 stage2_feat, train=train
-            )
+            ).astype(jnp.float32)
             output["estimation_boxes"] = rigid.get_offset_box(aux_box, output_offset)
         else:
             output["estimation_boxes"] = aux_box
@@ -211,6 +220,20 @@ def m2track_loss(config, batch: dict, output: dict) -> dict:
         loss_total += loss_bc * config.bc_weight
         loss_dict["loss_bc"] = loss_bc
 
+    # train-time observability (reference m2track.py:250-258): per-class
+    # accuracy — correct / count per TRUE class, the torchmetrics
+    # Accuracy(average='none') semantics. Computed inside the jitted step.
+    pred_seg = jnp.argmax(seg_logits, axis=-1)
+    for c, name in ((0, "acc_seg_background"), (1, "acc_seg_foreground")):
+        m = (seg_label == c).astype(jnp.float32)
+        loss_dict[name] = jnp.sum((pred_seg == c) * m) / (jnp.sum(m) + 1e-6)
+    if use_motion_cls:
+        pred_motion = jnp.argmax(output["motion_cls"], axis=-1)
+        lbl = motion_state_label.astype(jnp.int32)
+        for c, name in ((0, "acc_motion_static"), (1, "acc_motion_dynamic")):
+            m = (lbl == c).astype(jnp.float32)
+            loss_dict[name] = jnp.sum((pred_motion == c) * m) / (jnp.sum(m) + 1e-6)
+
     loss_dict["loss_total"] = loss_total
     return loss_dict
 
@@ -233,6 +256,7 @@ class M2TrackModel:
             use_motion_cls=getattr(config, "use_motion_cls", True),
             use_second_stage=getattr(config, "use_second_stage", True),
             use_prev_refinement=getattr(config, "use_prev_refinement", True),
+            dtype=jnp.bfloat16 if getattr(config, "bf16", False) else None,
         )
 
     # --- shapes -----------------------------------------------------------

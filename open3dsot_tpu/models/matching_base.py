@@ -15,6 +15,11 @@ import numpy as np
 from open3dsot_tpu.models.losses import bce_with_logits, smooth_l1
 
 
+def _compute_dtype(config):
+    """bf16 compute dtype when config.bf16 is set (params/BN stats stay f32)."""
+    return jnp.bfloat16 if getattr(config, "bf16", False) else None
+
+
 def matching_loss(config, batch: dict, output: dict) -> dict:
     """Reference base_model.py:122-164. Expects seg_label already gathered
     through the backbone sample idxs (done in the model's train apply)."""

@@ -9,10 +9,13 @@ sample idxs (p2b.py:75-78) happens in `loss()` here.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from open3dsot_tpu.models.matching_base import _compute_dtype  # noqa: E501
 from open3dsot_tpu.models.matching_base import (
     MatchingEvalMixin,
     matching_loss,
@@ -31,15 +34,17 @@ class P2BNet(nn.Module):
     num_proposal: int = 64
     use_fps: bool = False
     normalize_xyz: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, template, search, train: bool = False) -> dict:
         """template (B, M, 3), search (B, N, 3)."""
         M, N = template.shape[1], search.shape[1]
         backbone = PointnetBackbone(
-            use_fps=self.use_fps, normalize_xyz=self.normalize_xyz, name="backbone"
+            use_fps=self.use_fps, normalize_xyz=self.normalize_xyz,
+            dtype=self.dtype, name="backbone"
         )
-        conv_final = nn.Dense(self.feature_channel, name="conv_final")
+        conv_final = nn.Dense(self.feature_channel, dtype=self.dtype, name="conv_final")
 
         template_xyz, template_feature, _ = backbone(
             template, [M // 2, M // 4, M // 8], train=train
@@ -53,6 +58,7 @@ class P2BNet(nn.Module):
         fusion_feature = P2BXCorr(
             hidden_channel=self.hidden_channel,
             out_channel=self.out_channel,
+            dtype=self.dtype,
             name="xcorr",
         )(template_feature, search_feature, template_xyz, train=train)
 
@@ -61,6 +67,7 @@ class P2BNet(nn.Module):
             vote_channel=self.vote_channel,
             num_proposal=self.num_proposal,
             normalize_xyz=self.normalize_xyz,
+            dtype=self.dtype,
             name="rpn",
         )(search_xyz, fusion_feature, train=train)
 
@@ -86,6 +93,7 @@ class P2BModel(MatchingEvalMixin):
             num_proposal=config.num_proposal,
             use_fps=getattr(config, "use_fps", False),
             normalize_xyz=getattr(config, "normalize_xyz", False),
+            dtype=_compute_dtype(config),
         )
 
     def dummy_batch(self, batch_size: int = 2) -> dict:

@@ -21,7 +21,7 @@ reference (zeroed features, plain max-pool).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -35,15 +35,16 @@ class MiniPointNet(nn.Module):
     per_point_mlp: Sequence[int]
     hidden_mlp: Sequence[int]
     output_size: int = 0  # <=0: no final FC
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """x (B, N, C) -> (B, hidden_mlp[-1] or output_size)."""
-        x = MLP(self.per_point_mlp, name="per_point")(x, train=train)
+        x = MLP(self.per_point_mlp, dtype=self.dtype, name="per_point")(x, train=train)
         x = jnp.max(x, axis=1)  # global max-pool over points
-        x = MLP(self.hidden_mlp, name="hidden")(x, train=train)
+        x = MLP(self.hidden_mlp, dtype=self.dtype, name="hidden")(x, train=train)
         if self.output_size > 0:
-            x = nn.Dense(self.output_size, name="fc")(x)
+            x = nn.Dense(self.output_size, dtype=self.dtype, name="fc")(x)
         return x
 
 
@@ -51,22 +52,23 @@ class SegPointNet(nn.Module):
     per_point_mlp1: Sequence[int]
     per_point_mlp2: Sequence[int]
     output_size: int = 0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """x (B, N, C) -> per-point logits (B, N, output_size)."""
         second_layer_out = None
         for i, ch in enumerate(self.per_point_mlp1):
-            x = MLP([ch], name=f"mlp1_{i}")(x, train=train)
+            x = MLP([ch], dtype=self.dtype, name=f"mlp1_{i}")(x, train=train)
             if i == 1:
                 second_layer_out = x
         pooled = jnp.max(x, axis=1, keepdims=True)  # (B, 1, C)
         pooled = jnp.broadcast_to(pooled, x.shape)
         x = jnp.concatenate([second_layer_out, pooled], axis=-1)
         for i, ch in enumerate(self.per_point_mlp2):
-            x = MLP([ch], name=f"mlp2_{i}")(x, train=train)
+            x = MLP([ch], dtype=self.dtype, name=f"mlp2_{i}")(x, train=train)
         if self.output_size > 0:
-            x = nn.Dense(self.output_size, name="fc")(x)
+            x = nn.Dense(self.output_size, dtype=self.dtype, name="fc")(x)
         return x
 
 
@@ -85,6 +87,7 @@ class SetAbstraction(nn.Module):
     use_xyz: bool = True
     use_fps: bool = False
     normalize_xyz: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -118,7 +121,7 @@ class SetAbstraction(nn.Module):
         else:
             grouped = grouped_xyz
 
-        out = MLP(self.mlp, name="mlp_shared")(grouped, train=train)  # (B, S, K, C')
+        out = MLP(self.mlp, dtype=self.dtype, name="mlp_shared")(grouped, train=train)  # (B, S, K, C')
         out = jnp.max(out, axis=2)  # max over neighborhood
         return new_xyz, out, sample_idxs
 
@@ -132,6 +135,7 @@ class SetAbstractionAll(nn.Module):
 
     mlp: Sequence[int]
     use_xyz: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xyz: jnp.ndarray, features: Optional[jnp.ndarray],
@@ -144,7 +148,7 @@ class SetAbstractionAll(nn.Module):
             )
         else:
             grouped = xyz
-        out = MLP(self.mlp, name="mlp_shared")(grouped[:, None], train=train)
+        out = MLP(self.mlp, dtype=self.dtype, name="mlp_shared")(grouped[:, None], train=train)
         out = jnp.max(out, axis=2)  # (B, 1, C')
         return jnp.zeros((xyz.shape[0], 1, 3), xyz.dtype), out
 
@@ -160,6 +164,7 @@ class PointnetBackbone(nn.Module):
     normalize_xyz: bool = False
     return_intermediate: bool = False
     input_channels: int = 0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, pointcloud: jnp.ndarray, numpoints: Sequence[int], train: bool = False):
@@ -181,6 +186,7 @@ class PointnetBackbone(nn.Module):
                 use_xyz=True,
                 use_fps=spec["use_fps"],
                 normalize_xyz=self.normalize_xyz,
+                dtype=self.dtype,
                 name=f"sa{i}",
             )(l_xyz[i], l_features[i], numpoints[i], train=train)
             l_xyz.append(li_xyz)
@@ -195,6 +201,7 @@ class FeaturePropagation(nn.Module):
     """3-NN inverse-distance feature propagation (pointnet2_modules.py:152-212)."""
 
     mlp: Sequence[int]
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, unknown, known, unknown_feats, known_feats, train: bool = False):
@@ -212,4 +219,4 @@ class FeaturePropagation(nn.Module):
             new_features = jnp.concatenate([interpolated, unknown_feats], axis=-1)
         else:
             new_features = interpolated
-        return MLP(self.mlp, name="mlp_shared")(new_features, train=train)
+        return MLP(self.mlp, dtype=self.dtype, name="mlp_shared")(new_features, train=train)

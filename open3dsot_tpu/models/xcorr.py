@@ -12,6 +12,8 @@ TPU-native rebuilds of /root/reference/models/head/xcorr.py:
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -25,6 +27,7 @@ _HI = jax.lax.Precision.HIGHEST
 class P2BXCorr(nn.Module):
     hidden_channel: int
     out_channel: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, template_feature, search_feature, template_xyz, train: bool = False):
@@ -49,11 +52,10 @@ class P2BXCorr(nn.Module):
             axis=-1,
         )  # (B, M, N, 4+f)
         h = self.hidden_channel
-        fusion = MLP([h, h, h], name="mlp")(fusion, train=train)
+        fusion = MLP([h, h, h], dtype=self.dtype, name="mlp")(fusion, train=train)
         fusion = jnp.max(fusion, axis=1)  # max over template dim -> (B, N, h)
-        return MLP([h, self.out_channel], final_plain=True, name="fea_layer")(
-            fusion, train=train
-        )
+        return MLP([h, self.out_channel], final_plain=True, dtype=self.dtype,
+                   name="fea_layer")(fusion, train=train)
 
 
 class BoxAwareXCorr(nn.Module):
@@ -62,6 +64,7 @@ class BoxAwareXCorr(nn.Module):
     k: int = 4
     use_search_bc: bool = False
     use_search_feature: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -93,8 +96,7 @@ class BoxAwareXCorr(nn.Module):
             )
             corr = jnp.concatenate([sf, corr], axis=-1)
         h = self.hidden_channel
-        fusion = MLP([h, h, h], name="mlp")(corr, train=train)
+        fusion = MLP([h, h, h], dtype=self.dtype, name="mlp")(corr, train=train)
         fusion = jnp.max(fusion, axis=2)  # max over k -> (B, N, h)
-        return MLP([h, self.out_channel], final_plain=True, name="fea_layer")(
-            fusion, train=train
-        )
+        return MLP([h, self.out_channel], final_plain=True, dtype=self.dtype,
+                   name="fea_layer")(fusion, train=train)
