@@ -29,7 +29,12 @@ def parse_args():
     parser.add_argument("--workers", type=int, default=None)
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--category_name", type=str, default=None)
-    parser.add_argument("--preloading", action="store_true", default=None)
+    # like the reference (main.py:44,47): default False and ALWAYS overrides
+    # the YAML — preloading only happens when the flag is passed
+    parser.add_argument("--preloading", action="store_true", default=False)
+    parser.add_argument("--save_top_k", type=int, default=-1,
+                        help="keep k best checkpoints by precision (-1 = all)")
+    parser.add_argument("--check_val_every_n_epoch", type=int, default=None)
     parser.add_argument("--max_tracklets", type=int, default=None,
                         help="cap eval tracklets (debug)")
     parser.add_argument("--num_devices", type=int, default=None,
@@ -51,6 +56,10 @@ def main():
         if k not in ("cfg", "test", "checkpoint", "max_tracklets", "num_devices")
         and v is not None
     }
+    # reference semantics: these argparse values override YAML even at their
+    # defaults (reference main.py:47 does config.update(vars(args)))
+    overrides["preloading"] = args.preloading
+    overrides["save_top_k"] = args.save_top_k
     cfg = load_config(args.cfg, overrides)
 
     if os.environ.get("JAX_COORDINATOR"):

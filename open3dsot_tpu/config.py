@@ -23,7 +23,9 @@ DEFAULTS: Dict[str, Any] = {
     "coordinate_mode": "velodyne",
     "up_axis": [0, 0, 1],
     "preload_offset": -1,
-    "preloading": True,
+    # reference main.py:44: argparse default False, and the CLI value always
+    # overrides the YAML — so preloading is opt-in via --preloading
+    "preloading": False,
     "num_candidates": 1,
     "use_augmentation": False,
     "random_sample": False,
@@ -62,11 +64,19 @@ DEFAULTS: Dict[str, Any] = {
     "wd": 0.0,
     "gradient_clip_val": 0.0,
     "check_val_every_n_epoch": 1,
+    "save_top_k": -1,
     "log_dir": "./runs",
     "seed": 42,
     # parallelism (new, TPU-native)
     "mesh_shape": None,  # None -> all local devices on one 'data' axis
     "bf16": False,
+    # in-training validation path: 'auto' uses the on-device scan tracker
+    # when the config allows it, else the host fidelity loop
+    "val_tracker": "auto",
+    # scan-tracker deterministic resampling: 'strided' (evenly spaced over
+    # the cropped points, closest to the reference's uniform random choice)
+    # or 'first' (prefix + cyclic fill)
+    "scan_resample": "strided",
 }
 
 

@@ -17,7 +17,11 @@ but runs the whole tracklet on device in one `lax.scan`:
   model box on device (bat.py:41-55);
 - the argmax-objectness proposal composes onto the carried box (degrees /
   use_z handled; requires limit_box=False — the shipped BAT configs — since
-  the reference's limit_box branch re-draws offsets with host RNG).
+  the reference's limit_box branch re-draws offsets with host RNG);
+- camera-mode (y-up) configs are supported via the A-basis box
+  parameterization (geometry/rigid.py): boxes are (c, theta) with rotation
+  A @ Rz(theta), so the same scan recurrence serves P2B_Car's camera
+  coordinates (cfgs/P2B_Car.yaml:15-16).
 
 Resampling uses the deterministic cyclic fill (see scan_tracker.py notes);
 use tracking/eval.py for seeded-RNG fidelity.
@@ -50,10 +54,11 @@ class MatchScanTracker:
         )
         assert "FIRSTANDPREVIOUS" in config.shape_aggregation.upper()
         assert "PREVIOUS_RESULT" in config.reference_BB.upper()
-        assert config.up_axis[2] != 0, (
-            "scan path assumes z-up (velodyne) boxes; use tracking/eval.py "
-            "for camera-mode configs"
-        )
+        # up-axis basis: None (z-up) or Rx(pi/2) for camera mode
+        # (P2B_Car.yaml:15-16); raises on unsupported axes
+        A = rigid.up_frame(config.up_axis)
+        self._A = A
+        self._A_np = None if A is None else np.asarray(A)
         self.model = model
         self.variables = variables
         self.config = config
@@ -68,11 +73,12 @@ class MatchScanTracker:
         s_offset = float(config.search_bb_offset)
         t_size = int(config.template_size)
         s_size = int(config.search_size)
+        resample = getattr(config, "scan_resample", "strided")
         degrees = bool(config.degrees)
         use_z = bool(config.use_z)
 
         def crop_local(pts, pad_valid, ref_box, half):
-            local = rigid.remove_transform_points(pts, ref_box)
+            local = rigid.remove_transform_points(pts, ref_box, A=A)
             inside = jnp.all(
                 (local < half[:, None, :]) & (local > -half[:, None, :]), axis=-1
             )
@@ -89,12 +95,12 @@ class MatchScanTracker:
             prev_local, prev_ok = crop_local(prev_pts, prev_valid, ref_box, m_half)
             merged_pts = jnp.concatenate([first_pts, prev_local], axis=1)
             merged_ok = jnp.concatenate([first_valid, prev_ok], axis=1)
-            template = _select_fixed(merged_pts, merged_ok, t_size)  # (B, t, 3)
+            template = _select_fixed(merged_pts, merged_ok, t_size, mode=resample)  # (B, t, 3)
 
             # search region around the carried box
             s_half = half_wlh * s_scale + s_offset
             this_local, this_ok = crop_local(this_pts, this_valid, ref_box, s_half)
-            search = _select_fixed(this_local, this_ok, s_size)  # (B, s, 3)
+            search = _select_fixed(this_local, this_ok, s_size, mode=resample)  # (B, s, 3)
 
             batch = {"template_points": template, "search_points": search}
             if self.is_bat:
@@ -108,7 +114,7 @@ class MatchScanTracker:
             theta = jnp.deg2rad(est[:, 3]) if degrees else est[:, 3]
             dz = est[:, 2] if use_z else jnp.zeros_like(est[:, 2])
             offset = jnp.stack([est[:, 0], est[:, 1], dz, theta], axis=-1)
-            new_ref = rigid.get_offset_box(ref_box, offset)
+            new_ref = rigid.get_offset_box(ref_box, offset, A=A)
             return new_ref, new_ref
 
         def track_fn(variables, pts, valid, wlh, init_box, first_pts, first_valid):
@@ -143,7 +149,7 @@ class MatchScanTracker:
         for b, seq in enumerate(sequences):
             first_box = seq[0]["3d_bbox"]
             wlh[b] = first_box.wlh
-            theta0 = first_box.orientation.radians * first_box.orientation.axis[-1]
+            theta0 = rigid.theta_from_rotation(first_box.rotation_matrix, self._A_np)
             init[b] = np.append(first_box.center, theta0)
             # constant first-frame template crop (host, once per tracklet)
             crop, _ = points_utils.cropAndCenterPC(
@@ -184,12 +190,14 @@ class MatchScanTracker:
 
 def _score(sequence, boxes, config):
     first_box = sequence[0]["3d_bbox"]
+    A = rigid.up_frame(config.up_axis)
+    A_np = None if A is None else np.asarray(A)
     results_bbs = [first_box]
     for t in range(len(sequence) - 1):
         cx, cy, cz, th = (float(v) for v in boxes[t])
         results_bbs.append(
             Box([cx, cy, cz], first_box.wlh.tolist(),
-                Quaternion(axis=[0, 0, 1], radians=th))
+                Quaternion(matrix=rigid.rotation_from_theta(th, A_np)))
         )
     ious, distances = [], []
     for t, frame in enumerate(sequence):
@@ -204,13 +212,21 @@ def _score(sequence, boxes, config):
 def evaluate_dataset_scan_matching(model, variables, test_sampler, config,
                                    max_points: int = 4096,
                                    batch_tracklets: int = 8,
-                                   max_tracklets: Optional[int] = None):
-    """Batched scan eval over a whole dataset; returns (success, precision)."""
+                                   max_tracklets: Optional[int] = None,
+                                   tracker: Optional["MatchScanTracker"] = None):
+    """Batched scan eval over a whole dataset; returns (success, precision).
+
+    Pass a prebuilt `tracker` to reuse its compiled scan across calls
+    (in-training validation); its variables are swapped for the given ones.
+    """
     from collections import defaultdict
 
     from open3dsot_tpu.utils.metrics import Precision, Success
 
-    tracker = MatchScanTracker(model, variables, config, max_points=max_points)
+    if tracker is None:
+        tracker = MatchScanTracker(model, variables, config, max_points=max_points)
+    else:
+        tracker.variables = variables
     success, precision = Success(), Precision()
     n = len(test_sampler)
     if max_tracklets is not None:

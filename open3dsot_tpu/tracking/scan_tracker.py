@@ -39,21 +39,39 @@ from open3dsot_tpu.geometry.data_classes import Box
 from open3dsot_tpu.geometry.quaternion import Quaternion
 
 
-def _select_fixed(points: jnp.ndarray, valid: jnp.ndarray, n: int) -> jnp.ndarray:
+def _select_fixed(points: jnp.ndarray, valid: jnp.ndarray, n: int,
+                  mode: str = "strided") -> jnp.ndarray:
     """Pick exactly n rows from the valid subset of (B, P, C) points.
 
-    Valid rows are taken in index order and repeated cyclically when fewer
-    than n (the reference zero-pads below 3 points and random-resamples
-    otherwise; cyclic fill is the deterministic, shape-static equivalent).
+    Deterministic, shape-static stand-in for the reference's random
+    re-sampling (np.random.choice without replacement when downsampling,
+    with replacement when upsampling — points_utils.py:24-40):
+
+    - mode='strided' (default): downsampling takes evenly-spaced valid rows
+      (index order), the closest deterministic analogue of a uniform random
+      subset — point clouds are stored in scan/generation order, so the
+      'first' prefix is spatially biased while strides keep proportional
+      coverage. Upsampling cycles evenly through the valid rows.
+    - mode='first': the round-1 behavior (first-n valid rows, cyclic fill).
+
     Returns (B, n, C); an all-invalid row returns zeros.
     """
     B, P, _ = points.shape
     iota = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
     key = jnp.where(valid, iota, iota + P)
-    order = -jax.lax.top_k(-key, min(n, P))[0]  # (B, min(n,P)) valid-first
     count = jnp.sum(valid.astype(jnp.int32), axis=1, keepdims=True)  # (B, 1)
     safe = jnp.maximum(count, 1)
-    pick = jnp.arange(n, dtype=jnp.int32)[None, :] % jnp.minimum(safe, P)  # (B, n)
+    ar = jnp.arange(n, dtype=jnp.int32)[None, :]
+    if mode == "strided":
+        # strided picks reach index count-1, so order the FULL valid list
+        order = -jax.lax.top_k(-key, P)[0]  # (B, P) valid-first
+        capped = jnp.minimum(safe, P)
+        # evenly spaced over the valid list when downsampling; even cyclic
+        # coverage when upsampling (floor(i*count/n) vs i % count)
+        pick = jnp.where(capped >= n, (ar * capped) // n, ar % capped)
+    else:
+        order = -jax.lax.top_k(-key, min(n, P))[0]  # (B, min(n,P)) valid-first
+        pick = ar % jnp.minimum(safe, P)  # (B, n)
     pick = jnp.minimum(pick, order.shape[1] - 1)
     idx = jnp.take_along_axis(order, pick, axis=1)
     idx = jnp.where(idx < P, idx, 0)
@@ -82,11 +100,18 @@ class M2ScanTracker:
         self.max_points = max_points
         self.frame_bucket = frame_bucket
         self.mesh = mesh
-        assert config.up_axis[2] != 0, (
-            "scan path assumes z-up (velodyne) boxes; use tracking/eval.py "
-            "for camera-mode configs"
+        assert not getattr(config, "limit_box", False), (
+            "scan path requires limit_box: False (the reference's limit_box "
+            "branch re-draws offsets with host RNG, points_utils.py:70-76); "
+            "use tracking/eval.py instead — all shipped M2 configs set False"
         )
+        # up-axis basis: None (z-up) or Rx(pi/2) for camera mode; raises on
+        # unsupported axes (geometry/rigid.py::up_frame)
+        A = rigid.up_frame(config.up_axis)
+        self._A = A
+        self._A_np = None if A is None else np.asarray(A)
         self.box_aware = bool(getattr(config, "box_aware", False))
+        resample = getattr(config, "scan_resample", "strided")
         n = config.point_sample_size
         scale, offset = float(config.bb_scale), float(config.bb_offset)
 
@@ -103,7 +128,7 @@ class M2ScanTracker:
             )  # (B, 3)
 
             def crop(pts, pad_valid):
-                local = rigid.remove_transform_points(pts, ref_box)
+                local = rigid.remove_transform_points(pts, ref_box, A=A)
                 inside = jnp.all(
                     (local < half[:, None, :]) & (local > -half[:, None, :]), axis=-1
                 )
@@ -111,8 +136,8 @@ class M2ScanTracker:
 
             prev_local, prev_ok = crop(prev_pts, prev_valid)
             this_local, this_ok = crop(this_pts, this_valid)
-            prev_sel = _select_fixed(prev_local, prev_ok, n)  # (B, n, 3)
-            this_sel = _select_fixed(this_local, this_ok, n)
+            prev_sel = _select_fixed(prev_local, prev_ok, n, mode=resample)  # (B, n, 3)
+            this_sel = _select_fixed(this_local, this_ok, n, mode=resample)
 
             canonical = jnp.zeros((B, 4), prev_sel.dtype)
             seg_mask_prev = rigid.points_in_box(
@@ -146,7 +171,7 @@ class M2ScanTracker:
             output = model.apply(variables, batch, train=False)
             # box composition stays f32 regardless of the compute dtype
             pred = output["estimation_boxes"].astype(ref_box.dtype)  # (B, 4)
-            new_ref = rigid.get_offset_box(ref_box, pred)
+            new_ref = rigid.get_offset_box(ref_box, pred, A=A)
             return new_ref, new_ref
 
         def track_fn(variables, pts, valid, wlh, init_box):
@@ -219,7 +244,7 @@ class M2ScanTracker:
             pts[b], valid[b] = self._pad_frames(seq, T_pad)
             first_box = seq[0]["3d_bbox"]
             wlh[b] = first_box.wlh
-            theta0 = first_box.orientation.radians * first_box.orientation.axis[-1]
+            theta0 = rigid.theta_from_rotation(first_box.rotation_matrix, self._A_np)
             init[b] = np.append(first_box.center, theta0)
         boxes = np.asarray(
             self._track(
@@ -239,7 +264,8 @@ class M2ScanTracker:
         for t in range(len(sequence) - 1):
             cx, cy, cz, th = (float(v) for v in box_params[t])
             results_bbs.append(
-                Box([cx, cy, cz], wlh, Quaternion(axis=[0, 0, 1], radians=th))
+                Box([cx, cy, cz], wlh,
+                    Quaternion(matrix=rigid.rotation_from_theta(th, self._A_np)))
             )
         ious, distances = [], []
         for t, frame in enumerate(sequence):
@@ -267,17 +293,23 @@ class M2ScanTracker:
 def evaluate_dataset_scan(model, variables, test_sampler, config,
                           max_points: int = 4096,
                           batch_tracklets: int = 8,
-                          max_tracklets: Optional[int] = None):
+                          max_tracklets: Optional[int] = None,
+                          tracker: Optional["M2ScanTracker"] = None):
     """Scan-tracker dataset evaluation; returns (success, precision).
 
     Tracklets are grouped into same-length-bucket batches of up to
-    `batch_tracklets` so each group runs as one device dispatch.
+    `batch_tracklets` so each group runs as one device dispatch. Pass a
+    prebuilt `tracker` to reuse its compiled scan across calls (in-training
+    validation); its variables are swapped for the given ones.
     """
     from collections import defaultdict
 
     from open3dsot_tpu.utils.metrics import Precision, Success
 
-    tracker = M2ScanTracker(model, variables, config, max_points=max_points)
+    if tracker is None:
+        tracker = M2ScanTracker(model, variables, config, max_points=max_points)
+    else:
+        tracker.variables = variables
     success, precision = Success(), Precision()
     n = len(test_sampler)
     if max_tracklets is not None:

@@ -117,6 +117,11 @@ class Trainer:
         self.log_every = log_every
         self.best_metric = -np.inf
         self.history = []
+        # top-k checkpoint retention by precision (reference main.py:78-79:
+        # ModelCheckpoint(monitor='precision/test', mode='max', save_last,
+        # save_top_k); k=-1 keeps every validated epoch, k=0 keeps none)
+        self.save_top_k = int(getattr(config, "save_top_k", -1))
+        self._topk: list = []  # (precision, path), best first
         from open3dsot_tpu.utils.logging import ScalarLogger
 
         self.logger = ScalarLogger(self.work_dir)
@@ -168,11 +173,19 @@ class Trainer:
                 state, loss_dict = train_step(state, batch)
                 if (i + 1) % self.log_every == 0 or i == 0:
                     losses.append(float(loss_dict["loss_total"]))
+                    scalars = {k: float(v) for k, v in loss_dict.items()}
+                    # accuracy metrics (acc_*) are logged under their own
+                    # prefix, like the reference's seg/motion train accuracies
+                    # (m2track.py:250-258)
+                    accs = {k: v for k, v in scalars.items() if k.startswith("acc_")}
+                    losses_only = {k: v for k, v in scalars.items() if k not in accs}
                     self.logger.log_scalars(
-                        {k: float(v) for k, v in loss_dict.items()},
-                        step=int(state.step),
-                        prefix="loss/",
+                        losses_only, step=int(state.step), prefix="loss/"
                     )
+                    if accs:
+                        self.logger.log_scalars(
+                            accs, step=int(state.step), prefix="train/"
+                        )
             epoch_info = {
                 "epoch": epoch,
                 "loss": float(np.mean(losses)) if losses else float("nan"),
@@ -182,10 +195,8 @@ class Trainer:
             if val_sampler is not None and (
                 (epoch + 1) % getattr(cfg, "check_val_every_n_epoch", 1) == 0
             ):
-                from open3dsot_tpu.tracking.eval import evaluate_dataset
-
                 variables = {"params": state.params, "batch_stats": state.batch_stats}
-                succ, prec = evaluate_dataset(self.model, variables, val_sampler, cfg)
+                succ, prec = self._validate(variables, val_sampler)
                 epoch_info.update(success=succ, precision=prec)
                 self.logger.log_scalars(
                     {"success/test": succ, "precision/test": prec}, step=int(state.step)
@@ -193,12 +204,57 @@ class Trainer:
                 if prec > self.best_metric:
                     self.best_metric = prec
                     self.save_checkpoint(state, name="best")
+                self.save_topk_checkpoint(state, epoch, prec)
             self.save_checkpoint(state, name="last")
             self.history.append(epoch_info)
             self._log(epoch_info)
         return state
 
-    def save_checkpoint(self, state: TrainState, name: str = "last"):
+    def _validate(self, variables, val_sampler):
+        """Tracklet eval for in-training validation.
+
+        Uses the batched on-device scan tracker when the config allows it
+        (one compiled lax.scan per tracklet bucket, reused across epochs —
+        orders of magnitude faster than the per-frame host loop), falling
+        back to the host fidelity path otherwise. `config.val_tracker`
+        forces 'host' or 'scan'; 'auto' (default) tries scan first.
+        """
+        cfg = self.config
+        mode = getattr(cfg, "val_tracker", "auto")
+        if mode != "host" and not hasattr(self, "_val_scan"):
+            try:
+                if cfg.net_model.lower() == "m2track":
+                    from open3dsot_tpu.tracking.scan_tracker import M2ScanTracker
+
+                    self._val_scan = M2ScanTracker(self.model, variables, cfg)
+                else:
+                    from open3dsot_tpu.tracking.scan_matching import MatchScanTracker
+
+                    self._val_scan = MatchScanTracker(self.model, variables, cfg)
+            except (AssertionError, ValueError) as e:
+                if mode == "scan":
+                    raise
+                print(f"[trainer] scan validation unavailable ({e}); using host path")
+                self._val_scan = None
+        if getattr(self, "_val_scan", None) is not None:
+            if cfg.net_model.lower() == "m2track":
+                from open3dsot_tpu.tracking.scan_tracker import evaluate_dataset_scan
+
+                return evaluate_dataset_scan(
+                    self.model, variables, val_sampler, cfg, tracker=self._val_scan
+                )
+            from open3dsot_tpu.tracking.scan_matching import (
+                evaluate_dataset_scan_matching,
+            )
+
+            return evaluate_dataset_scan_matching(
+                self.model, variables, val_sampler, cfg, tracker=self._val_scan
+            )
+        from open3dsot_tpu.tracking.eval import evaluate_dataset
+
+        return evaluate_dataset(self.model, variables, val_sampler, cfg)
+
+    def save_checkpoint(self, state: TrainState, name: str = "last") -> str:
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(self.work_dir, f"ckpt_{name}"))
@@ -211,6 +267,24 @@ class Trainer:
         }
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
+        return path
+
+    def save_topk_checkpoint(self, state: TrainState, epoch: int, precision: float):
+        """Keep the k best per-epoch checkpoints by validation precision."""
+        k = self.save_top_k
+        if k == 0:
+            return
+        if k > 0 and len(self._topk) >= k and precision <= self._topk[-1][0]:
+            return  # would be evicted immediately; skip the write
+        path = self.save_checkpoint(state, name=f"ep{epoch:03d}")
+        self._topk.append((precision, path))
+        self._topk.sort(key=lambda t: -t[0])
+        if k > 0:
+            import shutil
+
+            for _, stale in self._topk[k:]:
+                shutil.rmtree(stale, ignore_errors=True)
+            self._topk = self._topk[:k]
 
     @staticmethod
     def load_checkpoint(path: str, opt_state_like=None):

@@ -26,7 +26,11 @@ class ScalarLogger:
                 from torch.utils.tensorboard import SummaryWriter
 
                 self._tb = SummaryWriter(log_dir=log_dir)
-            except Exception:
+            except Exception as e:
+                print(
+                    f"[logging] TensorBoard unavailable ({type(e).__name__}); "
+                    "scalars go to scalars.jsonl only"
+                )
                 self._tb = None
 
     def log_scalars(self, scalars: Dict[str, float], step: int, prefix: str = ""):

@@ -50,21 +50,31 @@ def setup():
 
 
 class TestSelectFixed:
-    def test_downsample_takes_valid_in_order(self):
+    def test_downsample_first_mode_takes_valid_in_order(self):
         import jax.numpy as jnp
 
         pts = jnp.arange(10, dtype=jnp.float32)[None, :, None]
         valid = jnp.asarray([[0, 1, 1, 0, 1, 1, 1, 1, 1, 1]], bool)
-        out = np.asarray(_select_fixed(pts, valid, 4))[0, :, 0]
+        out = np.asarray(_select_fixed(pts, valid, 4, mode="first"))[0, :, 0]
         assert out.tolist() == [1, 2, 4, 5]
+
+    def test_downsample_strided_spans_valid_list(self):
+        import jax.numpy as jnp
+
+        pts = jnp.arange(10, dtype=jnp.float32)[None, :, None]
+        valid = jnp.asarray([[0, 1, 1, 0, 1, 1, 1, 1, 1, 1]], bool)
+        # valid list = [1,2,4,5,6,7,8,9] (count 8); picks 0,2,4,6 of it
+        out = np.asarray(_select_fixed(pts, valid, 4, mode="strided"))[0, :, 0]
+        assert out.tolist() == [1, 4, 6, 8]
 
     def test_upsample_cycles(self):
         import jax.numpy as jnp
 
         pts = jnp.arange(5, dtype=jnp.float32)[None, :, None]
         valid = jnp.asarray([[1, 0, 1, 0, 0]], bool)
-        out = np.asarray(_select_fixed(pts, valid, 6))[0, :, 0]
-        assert out.tolist() == [0, 2, 0, 2, 0, 2]
+        for mode in ("first", "strided"):
+            out = np.asarray(_select_fixed(pts, valid, 6, mode=mode))[0, :, 0]
+            assert out.tolist() == [0, 2, 0, 2, 0, 2]
 
     def test_empty_row_returns_zeros(self):
         import jax.numpy as jnp

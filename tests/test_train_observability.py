@@ -1,0 +1,117 @@
+"""Train-time metric observability + scan-tracker validation.
+
+Reference parity: M2-Track logs per-class seg/motion accuracies during
+training (/root/reference/models/m2track.py:250-258); validation during
+training is a full tracklet eval (main.py:84) — here routed through the
+batched on-device scan tracker when the config allows (VERDICT r1 items 8-9).
+"""
+
+import json
+import os
+
+import numpy as np
+
+from open3dsot_tpu.config import make_config
+from open3dsot_tpu.data import get_dataset
+from open3dsot_tpu.models import get_model
+from open3dsot_tpu.models.m2track import m2track_loss
+from open3dsot_tpu.train.trainer import Trainer
+
+
+def _cfg(tmp_path, **over):
+    base = dict(
+        dataset="synthetic", net_model="m2track", category_name="Car",
+        bb_scale=1.25, bb_offset=2, point_sample_size=64, degrees=False,
+        up_axis=[0, 0, 1], train_type="train_motion", num_candidates=1,
+        motion_threshold=0.15, box_aware=False, use_second_stage=False,
+        use_prev_refinement=False, use_motion_cls=True, center_weight=2.0,
+        angle_weight=10.0, seg_weight=0.1, motion_cls_seg_weight=0.1,
+        use_z=True, limit_box=False, IoU_space=3, batch_size=4, epoch=1,
+        lr=1e-3, optimizer="Adam", lr_decay_step=20, lr_decay_rate=0.1,
+        wd=0.0, gradient_clip_val=1.0, check_val_every_n_epoch=1,
+        log_dir=str(tmp_path), syn_num_tracklets=2, syn_tracklet_len=4, seed=0,
+    )
+    base.update(over)
+    return make_config(base)
+
+
+def test_loss_dict_reports_per_class_accuracies(tmp_path):
+    cfg = _cfg(tmp_path)
+    model = get_model("m2track")(cfg)
+    rng = np.random.default_rng(0)
+    B, N = 3, 2 * cfg.point_sample_size
+    seg_logits = rng.normal(size=(B, N, 2)).astype(np.float32)
+    seg_label = rng.integers(0, 2, size=(B, N))
+    motion_cls = rng.normal(size=(B, 2)).astype(np.float32)
+    motion_state = rng.integers(0, 2, size=(B,))
+    output = {
+        "seg_logits": seg_logits,
+        "motion_cls": motion_cls,
+        "motion_pred": np.zeros((B, 4), np.float32),
+        "aux_estimation_boxes": np.zeros((B, 4), np.float32),
+    }
+    batch = {
+        "seg_label": seg_label,
+        "box_label": np.zeros((B, 4), np.float32),
+        "box_label_prev": np.zeros((B, 4), np.float32),
+        "motion_label": np.zeros((B, 4), np.float32),
+        "motion_state_label": motion_state,
+    }
+    ld = m2track_loss(cfg, batch, output)
+    pred_seg = seg_logits.argmax(-1)
+    for c, key in ((0, "acc_seg_background"), (1, "acc_seg_foreground")):
+        mask = seg_label == c
+        want = (pred_seg[mask] == c).mean()
+        assert abs(float(ld[key]) - want) < 1e-5
+    pred_m = motion_cls.argmax(-1)
+    for c, key in ((0, "acc_motion_static"), (1, "acc_motion_dynamic")):
+        mask = motion_state == c
+        want = (pred_m[mask] == c).mean()
+        assert abs(float(ld[key]) - want) < 1e-5
+
+
+def test_fit_logs_accuracies_and_uses_scan_validation(tmp_path):
+    cfg = _cfg(tmp_path)
+    model = get_model("m2track")(cfg)
+    train_sampler = get_dataset(cfg, "train_motion", "train")
+    val_sampler = get_dataset(cfg, "test", "test")
+    trainer = Trainer(model, cfg, work_dir=str(tmp_path), log_every=1)
+    trainer.fit(train_sampler, val_sampler, epochs=1, steps_per_epoch=2)
+
+    # scan validator selected (z-up, limit_box False -> allowed)
+    assert getattr(trainer, "_val_scan", None) is not None
+    assert "precision" in trainer.history[0]
+
+    # accuracy scalars reached the logger
+    keys = set()
+    with open(os.path.join(str(tmp_path), "scalars.jsonl")) as f:
+        for line in f:
+            keys.update(json.loads(line))
+    assert "train/acc_seg_foreground" in keys
+    assert "train/acc_motion_dynamic" in keys
+    assert "loss/loss_total" in keys
+    assert "precision/test" in keys
+
+
+def test_val_tracker_host_forces_host_path(tmp_path):
+    cfg = _cfg(tmp_path, val_tracker="host")
+    model = get_model("m2track")(cfg)
+    train_sampler = get_dataset(cfg, "train_motion", "train")
+    val_sampler = get_dataset(cfg, "test", "test")
+    trainer = Trainer(model, cfg, work_dir=str(tmp_path), log_every=1)
+    trainer.fit(train_sampler, val_sampler, epochs=1, steps_per_epoch=1)
+    assert getattr(trainer, "_val_scan", None) is None
+    assert "precision" in trainer.history[0]
+
+
+def test_val_scan_falls_back_on_limit_box(tmp_path):
+    # limit_box re-draws offsets with host RNG — no scan path; auto must
+    # fall back to the host fidelity loop
+    cfg = _cfg(tmp_path, limit_box=True)
+    model = get_model("m2track")(cfg)
+    train_sampler = get_dataset(cfg, "train_motion", "train")
+    val_sampler = get_dataset(cfg, "test", "test")
+    trainer = Trainer(model, cfg, work_dir=str(tmp_path), log_every=1)
+    trainer.fit(train_sampler, val_sampler, epochs=1, steps_per_epoch=1)
+    assert trainer._val_scan is None
+    assert "precision" in trainer.history[0]
