@@ -119,3 +119,52 @@ class TestBNMomentum:
         assert sched(10) == 0.05
         assert sched(100) == 0.02
         assert to_flax_momentum(0.1) == 0.9
+
+
+class TestGaussianMixtureModel:
+    """Real weighted-EM GMM (reference searchspace.py:110-187, VERDICT r1 #10)."""
+
+    def test_em_fits_two_weighted_clusters(self):
+        from open3dsot_tpu.data.searchspace import _weighted_em_gmm
+
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(200, 3)) * 0.2 + np.array([3, 0, 0])
+        b = rng.normal(size=(200, 3)) * 0.2 + np.array([-3, 0, 0])
+        X = np.vstack([a, b])
+        w = np.concatenate([np.full(200, 0.9), np.full(200, 0.1)])
+        pi, means, covs = _weighted_em_gmm(X, w / w.sum(), n_comp=2, seed=1)
+        order = np.argsort(-pi)
+        assert abs(pi[order][0] - 0.9) < 0.05
+        assert abs(means[order][0][0] - 3) < 0.3
+        assert abs(means[order][1][0] + 3) < 0.3
+        assert covs.shape == (2, 3, 3)
+
+    def test_sample_mixture_recipe(self):
+        from open3dsot_tpu.data.searchspace import GaussianMixtureModel
+
+        np.random.seed(0)
+        g = GaussianMixtureModel(n_comp=2, dim=3)
+        s = g.sample(100)  # unfitted: broad prior, must not crash
+        assert s.shape[1] == 3
+        rng = np.random.default_rng(1)
+        X = np.vstack([
+            rng.normal(size=(150, 3)) * 0.2 + np.array([2, 0, 0]),
+            rng.normal(size=(150, 3)) * 0.2 + np.array([-2, 0, 0]),
+        ])
+        g.addData(X, np.ones(300))
+        s = g.sample(1000)
+        # 80% mixture draws concentrate near the two fitted clusters
+        frac_near = (np.abs(np.abs(s[:, 0]) - 2) < 1.5).mean()
+        assert frac_near > 0.6
+        g.reset()
+        assert g._means is None
+
+    def test_dim2_variant(self):
+        from open3dsot_tpu.data.searchspace import GaussianMixtureModel
+
+        np.random.seed(2)
+        g = GaussianMixtureModel(n_comp=3, dim=2)
+        rng = np.random.default_rng(3)
+        g.addData(rng.normal(size=(50, 2)), rng.uniform(size=50))
+        s = g.sample(50)
+        assert s.shape[1] == 2 and np.isfinite(s).all()
