@@ -58,6 +58,7 @@ def get_dataset(config, type: str = "train_siamese", split: str = "train", **kwa
             num_tracklets=getattr(config, "syn_num_tracklets", 4),
             tracklet_len=getattr(config, "syn_tracklet_len", 8),
             seed=getattr(config, "seed", 42),
+            up_axis=getattr(config, "up_axis", (0, 0, 1)),
         )
     else:
         raise ValueError(f"unknown dataset {name!r}")

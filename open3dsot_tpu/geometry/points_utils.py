@@ -48,6 +48,9 @@ def regularize_pc(points: np.ndarray, sample_size: int, seed=None):
 
 def getOffsetBB(box: Box, offset, degrees=True, use_z=False, limit_box=True, inplace=False) -> Box:
     """Apply a 3/4-DoF offset to a box in its local frame."""
+    # limit_box re-draws offsets in place (reference points_utils.py:70-76);
+    # work on a copy so read-only arrays (e.g. device outputs) are accepted
+    offset = np.array(offset, dtype=np.float64)
     rot_quat = Quaternion(matrix=box.rotation_matrix)
     trans = np.array(box.center)
     new_box = box if inplace else box.copy()

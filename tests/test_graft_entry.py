@@ -41,7 +41,7 @@ def test_dryrun_multichip_forces_own_cpu_mesh():
         env=env,
         capture_output=True,
         text=True,
-        timeout=300,
+        timeout=600,  # single host core; suite may run under heavy contention
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "dryrun_multichip(8) ok" in out.stdout
