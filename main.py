@@ -35,6 +35,8 @@ def parse_args():
     parser.add_argument("--save_top_k", type=int, default=-1,
                         help="keep k best checkpoints by precision (-1 = all)")
     parser.add_argument("--check_val_every_n_epoch", type=int, default=None)
+    parser.add_argument("--bf16", action="store_true", default=None,
+                        help="bf16 compute (params/BN stats stay f32)")
     parser.add_argument("--max_tracklets", type=int, default=None,
                         help="cap eval tracklets (debug)")
     parser.add_argument("--num_devices", type=int, default=None,
