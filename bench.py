@@ -133,7 +133,11 @@ def main():
             jnp.asarray(init[batch_slice]),
         )
         compiled = tracker._track.lower(*a).compile()
-        flops_per_pass = float(compiled.cost_analysis()["flops"])
+        # XLA cost analysis counts a lax.scan/while body ONCE — multiply by
+        # the scan length (T_pad - 1 tracked frames) for the real per-pass
+        # FLOPs (round-1 regression: dividing the single-step count across
+        # all frames under-reported the implied TFLOP/s 63x)
+        flops_per_pass = float(compiled.cost_analysis()["flops"]) * (T_pad - 1)
         nb = a[1].shape[0]
         real_frames = sum(len(sequences[i]) - 1 for i in range(batch_slice.start or 0, (batch_slice.start or 0) + nb))
         fps, dt = _timed_fps(tracker._track, a, real_frames, passes=passes)
