@@ -68,9 +68,16 @@ def create_train_state(model, rng: jax.Array, optimizer) -> TrainState:
     )
 
 
-def make_train_step(model, optimizer, mesh=None, donate: bool = True):
+def make_train_step(model, optimizer, mesh=None, donate: bool = True,
+                    bn_schedule: bool = False):
     """Build the jitted train step. With a mesh, the batch is sharded over
-    the 'data' axis and state is replicated; single-device otherwise."""
+    the 'data' axis and state is replicated; single-device otherwise.
+
+    With bn_schedule, the step takes a third runtime scalar — the scheduled
+    flax BN momentum — and re-blends the running statistics accordingly
+    (train/bn_momentum.py; replaces the reference's BNMomentumScheduler
+    live-module mutation, pytorch_utils.py:272-297, without recompiles).
+    """
 
     def loss_fn(params, batch_stats, batch):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -78,9 +85,13 @@ def make_train_step(model, optimizer, mesh=None, donate: bool = True):
         loss_dict = model.loss(model.config, batch, output)
         return loss_dict["loss_total"], (mutated["batch_stats"], loss_dict)
 
-    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
+    def step_core(state: TrainState, batch, bn_momentum=None):
         grad_fn = jax.grad(loss_fn, has_aux=True)
         grads, (new_bs, loss_dict) = grad_fn(state.params, state.batch_stats, batch)
+        if bn_momentum is not None:
+            from open3dsot_tpu.train.bn_momentum import reblend_batch_stats
+
+            new_bs = reblend_batch_stats(state.batch_stats, new_bs, bn_momentum)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
@@ -91,14 +102,22 @@ def make_train_step(model, optimizer, mesh=None, donate: bool = True):
         )
         return new_state, loss_dict
 
+    if bn_schedule:
+        def step_fn(state, batch, bn_momentum):
+            return step_core(state, batch, bn_momentum)
+    else:
+        def step_fn(state, batch):
+            return step_core(state, batch)
+
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
+    in_sh = (repl, data, repl) if bn_schedule else (repl, data)
     return jax.jit(
         step_fn,
-        in_shardings=(repl, data),
+        in_shardings=in_sh,
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
     )
@@ -160,17 +179,36 @@ class Trainer:
             if restored.get("opt_state") is not None:
                 state = state.replace(opt_state=restored["opt_state"])
             start_epoch = int(restored.get("step", 0)) // spe
-        train_step = make_train_step(self.model, optimizer, mesh=self.mesh)
+        # optional BN-momentum schedule (reference BNMomentumScheduler,
+        # pytorch_utils.py:272-297): cfg.bn_decay_step enables it
+        bn_sched = None
+        if getattr(cfg, "bn_decay_step", None):
+            from open3dsot_tpu.train.bn_momentum import bn_momentum_schedule
+
+            bn_sched = bn_momentum_schedule(
+                initial=getattr(cfg, "bn_momentum", 0.1),
+                decay=getattr(cfg, "bn_decay_rate", 0.5),
+                step_size=int(cfg.bn_decay_step),
+            )
+        train_step = make_train_step(self.model, optimizer, mesh=self.mesh,
+                                     bn_schedule=bn_sched is not None)
 
         for epoch in range(start_epoch, epochs):
             loader.set_epoch(epoch)
+            if bn_sched is not None:
+                from open3dsot_tpu.train.bn_momentum import to_flax_momentum
+
+                bn_m = jnp.float32(to_flax_momentum(bn_sched(epoch)))
             t0 = time.time()
             losses = []
             for i, batch in enumerate(loader):
                 if steps_per_epoch is not None and i >= steps_per_epoch:
                     break
                 batch = shard_batch(batch, self.mesh)
-                state, loss_dict = train_step(state, batch)
+                if bn_sched is not None:
+                    state, loss_dict = train_step(state, batch, bn_m)
+                else:
+                    state, loss_dict = train_step(state, batch)
                 if (i + 1) % self.log_every == 0 or i == 0:
                     losses.append(float(loss_dict["loss_total"]))
                     scalars = {k: float(v) for k, v in loss_dict.items()}

@@ -150,3 +150,70 @@ class TestProfiling:
             pass
         s = sw.summary()
         assert s["a"]["count"] == 2
+
+
+class TestBNMomentumSchedule:
+    """Scheduled BN momentum via running-stat re-blend (train/bn_momentum.py),
+    replacing the reference BNMomentumScheduler's live-module mutation
+    (pytorch_utils.py:272-297)."""
+
+    def test_reblend_matches_direct_momentum(self):
+        import jax.numpy as jnp
+
+        from open3dsot_tpu.train.bn_momentum import reblend_batch_stats
+
+        rng = np.random.default_rng(0)
+        old = {"bn": {"mean": rng.normal(size=8).astype(np.float32)}}
+        mu = rng.normal(size=8).astype(np.float32)
+        # what flax produced with its baked-in momentum 0.9
+        flax_new = {"bn": {"mean": 0.9 * old["bn"]["mean"] + 0.1 * mu}}
+        for m in (0.99, 0.5, 0.9):
+            got = reblend_batch_stats(old, flax_new, jnp.float32(m))
+            want = m * old["bn"]["mean"] + (1 - m) * mu
+            np.testing.assert_allclose(np.asarray(got["bn"]["mean"]), want,
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_trainer_applies_schedule(self, tmp_path):
+        import jax
+
+        from open3dsot_tpu.config import make_config
+        from open3dsot_tpu.data import get_dataset
+        from open3dsot_tpu.models import get_model
+        from open3dsot_tpu.train.trainer import Trainer
+
+        base = dict(
+            dataset="synthetic", net_model="m2track", category_name="Car",
+            bb_scale=1.25, bb_offset=2, point_sample_size=32, degrees=False,
+            up_axis=[0, 0, 1], train_type="train_motion", num_candidates=1,
+            motion_threshold=0.15, box_aware=False, use_second_stage=False,
+            use_prev_refinement=False, use_motion_cls=False, use_z=True,
+            center_weight=2.0, angle_weight=10.0, seg_weight=0.1,
+            motion_cls_seg_weight=0.1,
+            limit_box=False, IoU_space=3, batch_size=4, epoch=1, lr=1e-3,
+            optimizer="Adam", lr_decay_step=20, lr_decay_rate=0.1, wd=0.0,
+            gradient_clip_val=1.0, log_dir=str(tmp_path),
+            syn_num_tracklets=2, syn_tracklet_len=4, seed=0,
+        )
+        # torch momentum ~0 -> flax momentum ~1 -> stats stay at init;
+        # torch momentum ~1 -> flax momentum ~0 -> stats jump to batch stats
+        def drift_from_init(**over):
+            cfg = make_config(dict(base, **over))
+            model = get_model("m2track")(cfg)
+            init_stats = model.init(jax.random.PRNGKey(cfg.seed),
+                                    model.dummy_batch(2))["batch_stats"]
+            tr = Trainer(model, cfg, work_dir=str(tmp_path), log_every=1)
+            state = tr.fit(get_dataset(cfg, "train_motion", "train"), None,
+                           epochs=1, steps_per_epoch=2)
+            a = jax.tree_util.tree_leaves(jax.device_get(state.batch_stats))
+            b = jax.tree_util.tree_leaves(jax.device_get(init_stats))
+            return float(np.mean([np.abs(np.asarray(x) - np.asarray(y)).mean()
+                                  for x, y in zip(a, b)]))
+
+        # the schedule floors at torch momentum 0.01, so 'slow' ends up at
+        # 0.01 (2% drift over 2 steps) while 'fast' (0.999) moves the stats
+        # essentially all the way to the batch statistics
+        slow = drift_from_init(bn_decay_step=10, bn_momentum=1e-6,
+                               bn_decay_rate=1.0)
+        fast = drift_from_init(bn_decay_step=10, bn_momentum=0.999,
+                               bn_decay_rate=1.0)
+        assert fast > 10 * slow, (fast, slow)
