@@ -6,6 +6,13 @@ tracklet extraction from label_02 CSVs, Tr_velo_cam calibration,
 camera/velodyne coordinate modes, per-frame velodyne cache, optional
 preload-crop, whole-split pickle preload cache, and the missing-frame
 single-zero-point fallback (kitti.py:182-187).
+
+TRANSCRIPTION NOTICE: the CSV schema handling, box-construction math
+(including the exact quaternion compositions per coordinate mode) and cache
+layout mirror the reference closely on purpose — this is a file-format
+contract; deviating produces different boxes/splits than the published
+checkpoints were trained on. Tested end-to-end against generated KITTI-format
+files (tests/test_kitti_e2e.py).
 """
 
 from __future__ import annotations

@@ -13,6 +13,14 @@ Functional parity with /root/reference/datasets/sampler.py:
 
 These are plain-python Dataset-like objects (__len__/__getitem__); batching
 is done by `data/loader.py` into fixed-shape numpy batches for the device.
+
+TRANSCRIPTION NOTICE: `siamese_processing` / `motion_processing` follow the
+reference statement-for-statement on purpose — the training-label semantics
+(RNG call order for offsets, crop order, seg-label masks, degrees/radians
+switches) must match exactly for checkpoint- and metric-parity, and are
+verified against the live reference code in
+tests/test_reference_live_parity.py. The sampler classes and the batching
+pipeline around them are original.
 """
 
 from __future__ import annotations

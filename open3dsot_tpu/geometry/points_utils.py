@@ -5,6 +5,16 @@ cropping, canonicalization, template merging, BoxCloud distances, in-box
 masks, augmentation. Used by the dataset samplers and the tracklet eval
 driver; the batched on-device equivalents live in `geometry/rigid.py`.
 
+TRANSCRIPTION NOTICE: several functions here (regularize_pc, getOffsetBB,
+getModel, cropAndCenterPC, crop_pc_*, apply_transform/apply_augmentation)
+are deliberate semantics-pinned transcriptions of the reference's
+datasets/points_utils.py host path. They are the declared exact-parity
+surface (CLAUDE.md): training labels and eval inputs depend on the precise
+numpy RNG call order, strict-vs-inclusive bounds and statement order, so any
+"idiomatic" restructuring changes the produced datasets. Each is golden- and
+live-reference-tested (tests/test_reference_live_parity.py); everything
+device-side is an original design (geometry/rigid.py).
+
 Exact-semantics notes (reference file:line):
 - regularize_pc RNG: np.random.default_rng(seed).choice with replace iff
   upsampling, unseeded np.random.choice otherwise (points_utils.py:24-40).
