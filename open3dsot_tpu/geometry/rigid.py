@@ -174,3 +174,39 @@ def points_in_box(points: jnp.ndarray, box: jnp.ndarray, wlh: jnp.ndarray,
     local = remove_transform_points(points, box, A=A)  # (B, N, 3)
     half = jnp.stack([wlh[:, 1], wlh[:, 0], wlh[:, 2]], axis=-1) * (wlh_factor / 2.0)
     return jnp.all(jnp.abs(local) <= half[:, None, :], axis=-1)
+
+
+def limit_box_offset(offset: jnp.ndarray, wlh: jnp.ndarray, use_z: bool) -> jnp.ndarray:
+    """Deterministic device emulation of getOffsetBB's limit_box branch
+    (/root/reference/datasets/points_utils.py:70-76).
+
+    The reference rescues wild predictions: an offset component exceeding the
+    box extent (note: POSITIVE overshoot only — the reference compares the
+    signed offset, a quirk preserved here) is re-drawn from the host's global
+    ``np.random.uniform(-1, 1)``. On device we replace it with 0.0 — the mean
+    of that uniform — keeping the scan jittable and deterministic; the z
+    branch is exact (the reference also sets it to 0). Host-vs-scan drift of
+    this emulation is measured in benchmarks/drift_benchmark.py.
+
+    offset (B, 4) = (dx, dy, dz, dtheta) box-local; wlh (B, 3).
+    """
+    zero = jnp.zeros_like(offset[:, 0])
+    dx = jnp.where(offset[:, 0] > wlh[:, 0], zero, offset[:, 0])
+    dy = jnp.where(offset[:, 1] > jnp.minimum(wlh[:, 1], 2.0), zero, offset[:, 1])
+    dz = offset[:, 2]
+    if use_z:
+        dz = jnp.where(dz > wlh[:, 2], zero, dz)
+    return jnp.stack([dx, dy, dz, offset[:, 3]], axis=-1)
+
+
+def transform_box_params(box: jnp.ndarray, ref_box: jnp.ndarray, A=None) -> jnp.ndarray:
+    """Express a 4-DoF box in another box's frame (B, 4) -> (B, 4).
+
+    Device equivalent of points_utils.transform_box (host: translate by
+    -ref.center, rotate by ref.rotation^-1): local center = Rz(-t_ref) A^T
+    (c - c_ref), local theta = theta - theta_ref (z-rotations compose
+    additively in both up conventions).
+    """
+    local_c = remove_transform_points(box[:, None, :3], ref_box, A=A)[:, 0]
+    local_t = box[:, 3] - ref_box[:, 3]
+    return jnp.concatenate([local_c, local_t[:, None]], axis=-1)

@@ -16,8 +16,10 @@ but runs the whole tracklet on device in one `lax.scan`:
 - BAT additionally computes the template BoxCloud against the canonical
   model box on device (bat.py:41-55);
 - the argmax-objectness proposal composes onto the carried box (degrees /
-  use_z handled; requires limit_box=False — the shipped BAT configs — since
-  the reference's limit_box branch re-draws offsets with host RNG);
+  use_z handled; limit_box configs use the deterministic re-draw emulation
+  rigid.limit_box_offset — the reference draws uniform(-1,1) from the host
+  global RNG, points_utils.py:70-76 — drift measured in
+  benchmarks/drift_benchmark.py);
 - camera-mode (y-up) configs are supported via the A-basis box
   parameterization (geometry/rigid.py): boxes are (c, theta) with rotation
   A @ Rz(theta), so the same scan recurrence serves P2B_Car's camera
@@ -48,10 +50,6 @@ class MatchScanTracker:
 
     def __init__(self, model, variables, config, max_points: int = 4096,
                  first_crop_points: int = 1024, frame_bucket: int = 16):
-        assert not getattr(config, "limit_box", False), (
-            "scan path requires limit_box: False (host RNG re-draw not "
-            "supported on device); use tracking/eval.py instead"
-        )
         assert "FIRSTANDPREVIOUS" in config.shape_aggregation.upper()
         assert "PREVIOUS_RESULT" in config.reference_BB.upper()
         # up-axis basis: None (z-up) or Rx(pi/2) for camera mode
@@ -76,6 +74,7 @@ class MatchScanTracker:
         resample = getattr(config, "scan_resample", "strided")
         degrees = bool(config.degrees)
         use_z = bool(config.use_z)
+        limit_box = bool(getattr(config, "limit_box", False))
 
         def crop_local(pts, pad_valid, ref_box, half):
             local = rigid.remove_transform_points(pts, ref_box, A=A)
@@ -114,6 +113,10 @@ class MatchScanTracker:
             theta = jnp.deg2rad(est[:, 3]) if degrees else est[:, 3]
             dz = est[:, 2] if use_z else jnp.zeros_like(est[:, 2])
             offset = jnp.stack([est[:, 0], est[:, 1], dz, theta], axis=-1)
+            if limit_box:
+                # deterministic emulation of the host RNG re-draw
+                # (rigid.limit_box_offset; reference points_utils.py:70-76)
+                offset = rigid.limit_box_offset(offset, wlh, use_z)
             new_ref = rigid.get_offset_box(ref_box, offset, A=A)
             return new_ref, new_ref
 

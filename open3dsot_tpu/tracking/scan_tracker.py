@@ -106,11 +106,6 @@ class M2ScanTracker:
         self.max_points = max_points
         self.frame_bucket = frame_bucket
         self.mesh = mesh
-        assert not getattr(config, "limit_box", False), (
-            "scan path requires limit_box: False (the reference's limit_box "
-            "branch re-draws offsets with host RNG, points_utils.py:70-76); "
-            "use tracking/eval.py instead — all shipped M2 configs set False"
-        )
         # up-axis basis: None (z-up) or Rx(pi/2) for camera mode; raises on
         # unsupported axes (geometry/rigid.py::up_frame)
         A = rigid.up_frame(config.up_axis)
@@ -120,6 +115,8 @@ class M2ScanTracker:
         resample = getattr(config, "scan_resample", "strided")
         n = config.point_sample_size
         scale, offset = float(config.bb_scale), float(config.bb_offset)
+        use_z = bool(getattr(config, "use_z", True))
+        limit_box = bool(getattr(config, "limit_box", False))
 
         def step(variables, wlh, carry, xs):
             ref_box = carry  # (B, 4) world frame
@@ -177,6 +174,12 @@ class M2ScanTracker:
             output = model.apply(variables, batch, train=False)
             # box composition stays f32 regardless of the compute dtype
             pred = output["estimation_boxes"].astype(ref_box.dtype)  # (B, 4)
+            if limit_box:
+                # deterministic emulation of the host RNG re-draw
+                # (rigid.limit_box_offset; reference points_utils.py:70-76).
+                # All shipped M2 configs set limit_box False, so this is
+                # normally dead; kept for config parity.
+                pred = rigid.limit_box_offset(pred, wlh, use_z)
             new_ref = rigid.get_offset_box(ref_box, pred, A=A)
             return new_ref, new_ref
 

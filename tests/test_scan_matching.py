@@ -77,10 +77,41 @@ class TestMatchScanTracker:
             assert np.allclose(b, s, atol=1e-4)
 
 
-class TestGuards:
-    def test_rejects_limit_box(self):
+class TestLimitBox:
+    def test_limit_box_config_runs(self):
+        """limit_box configs (all P2B + BAT nuScenes/Waymo/Pedestrian) now
+        track on device via the deterministic re-draw emulation."""
         cfg = cfg_for("p2b", limit_box=True)
         model = get_model("p2b")(cfg)
         variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
-        with pytest.raises(AssertionError):
-            MatchScanTracker(model, variables, cfg)
+        sampler = get_dataset(cfg, "test", "test")
+        tracker = MatchScanTracker(model, variables, cfg, max_points=1024,
+                                   first_crop_points=256)
+        ious, distances, boxes = tracker.evaluate_one_sequence(sampler[0], cfg)
+        assert len(ious) == len(sampler[0])
+        assert all(np.isfinite(v) for v in distances)
+
+    def test_limit_box_offset_semantics(self):
+        """Emulation preserves the reference's quirks
+        (points_utils.py:70-76): only POSITIVE overshoot triggers, the y
+        bound is min(l, 2), z only with use_z (and is exactly 0 there)."""
+        import jax.numpy as jnp
+
+        from open3dsot_tpu.geometry import rigid
+
+        wlh = jnp.asarray([[1.5, 3.0, 1.4]], np.float32)  # (w, l, h)
+        off = lambda dx, dy, dz, th: jnp.asarray([[dx, dy, dz, th]], np.float32)
+
+        out = rigid.limit_box_offset(off(2.0, 0.1, 0.0, 0.3), wlh, use_z=True)
+        assert np.allclose(np.asarray(out), [[0.0, 0.1, 0.0, 0.3]])
+        # negative overshoot does NOT trigger (signed comparison quirk)
+        out = rigid.limit_box_offset(off(-9.0, -9.0, -9.0, 0.3), wlh, use_z=True)
+        assert np.allclose(np.asarray(out), [[-9.0, -9.0, -9.0, 0.3]])
+        # y bound is min(l, 2) = 2 here
+        out = rigid.limit_box_offset(off(0.0, 2.5, 0.0, 0.0), wlh, use_z=True)
+        assert np.allclose(np.asarray(out), [[0.0, 0.0, 0.0, 0.0]])
+        # z redraw is exact 0, and only with use_z
+        out = rigid.limit_box_offset(off(0.0, 0.0, 2.0, 0.0), wlh, use_z=True)
+        assert np.allclose(np.asarray(out), [[0.0, 0.0, 0.0, 0.0]])
+        out = rigid.limit_box_offset(off(0.0, 0.0, 2.0, 0.0), wlh, use_z=False)
+        assert np.allclose(np.asarray(out), [[0.0, 0.0, 2.0, 0.0]])
