@@ -77,6 +77,15 @@ DEFAULTS: Dict[str, Any] = {
     # the cropped points, closest to the reference's uniform random choice)
     # or 'first' (prefix + cyclic fill)
     "scan_resample": "strided",
+    # fused set-abstraction eval kernel (ops/sa_fused.py): 'auto' enables it
+    # on TPU backends only (the Pallas kernel runs interpreted — slowly —
+    # on CPU); True/False force it
+    "fused_sa": "auto",
+    # build training samples inside the jitted train step
+    # (data/device_sampler.py; train_motion only). The host then only pads
+    # raw frames — it is ~10x too slow to build samples itself on 1 core
+    "device_sampler": False,
+    "max_raw_points": 2048,
 }
 
 

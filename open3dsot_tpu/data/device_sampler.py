@@ -1,0 +1,347 @@
+"""On-device (jitted) training-sample builder.
+
+The reference builds every training sample on the host with numpy
+(`motion_processing`, /root/reference/datasets/sampler.py:82-180) and hides
+the cost behind 10 DataLoader worker processes (main.py:75-77). On this
+1-core host the numpy path measures ~350 samples/s while the bf16 M2 train
+step consumes ~3900 — training is ~10x data-bound. The TPU-native fix (the
+SURVEY §7 north star) is to move the whole sample build inside the jitted
+train step: the host only pads raw frames to fixed shapes and picks indices;
+cropping, canonicalization, random resampling, label building, soft masks
+and BoxClouds all run batched on device with `jax.random` draws.
+
+Semantics: every deterministic computation mirrors `motion_processing`
+statement-for-statement (subwindow crop bounds, in-box factors 1.25,
+soft 0.2/0.8 masks, timestamp channels, 4-DoF labels, motion-state
+threshold). Random draws are distribution-equivalent, not stream-equivalent:
+the reference consumes the host global numpy RNG, this builder consumes a
+per-step jax PRNG key. Deviations (documented, all rare):
+
+  * the reference re-samples a fresh random index when a cropped search
+    region has <=20 points (sampler.py:287-288); the device builder keeps
+    the sample (the model sees the zero-padded crop). The >10-target-points
+    assert is enforced on the host at index-selection time, where it is
+    cheap and exact (`MotionTrackingSampler`'s resample loop semantics).
+  * raw frames larger than `max_raw_points` keep the points nearest the
+    previous box center (the subwindow can only select points within
+    bb_scale * wlh + bb_offset + 0.3 m of it).
+
+Everything here is z-up/camera-generic through the A-basis (geometry/rigid).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from open3dsot_tpu.geometry import points_utils, rigid
+
+
+# ---------------------------------------------------------------------------
+# device-side pieces
+# ---------------------------------------------------------------------------
+
+def random_select(points: jnp.ndarray, valid: jnp.ndarray, n: int,
+                  key: jax.Array) -> jnp.ndarray:
+    """np.random.choice-equivalent fixed-shape resampling (B, P, C) -> (B, n, C).
+
+    Distributionally mirrors regularize_pc (points_utils.py:24-40):
+      m > n  : uniform random n-subset, no replacement
+      m == n : all valid rows in index order
+      m < n  : n uniform draws with replacement
+      m <= 2 : zeros (reference fallback)
+    """
+    B, P, _ = points.shape
+    count = jnp.sum(valid.astype(jnp.int32), axis=1, keepdims=True)  # (B,1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
+    k_u, k_r = jax.random.split(key)
+
+    # first min(n, P) valid positions in index order (pad past P)
+    order_key = jnp.where(valid, iota, iota + P)
+    order_n = -jax.lax.top_k(-order_key, min(n, P))[0]  # ascending
+    order_n = jnp.minimum(order_n, P - 1)
+    if n > P:
+        order_n = jnp.concatenate(
+            [order_n, jnp.broadcast_to(order_n[:, :1], (B, n - P))], axis=1
+        )
+
+    # without replacement: n smallest random keys among the valid rows
+    u = jax.random.uniform(k_u, (B, P))
+    rand_key = jnp.where(valid, u, 2.0)
+    idx_wo = jax.lax.top_k(-rand_key, min(n, P))[1].astype(jnp.int32)
+    if n > P:  # degenerate; unused because m > n can't hold then
+        idx_wo = jnp.concatenate(
+            [idx_wo, jnp.broadcast_to(idx_wo[:, :1], (B, n - P))], axis=1
+        )
+
+    # with replacement: r_j ~ U[0, m), j-th draw takes the r_j-th valid row
+    r = jax.random.randint(k_r, (B, n), 0, jnp.maximum(count, 1))
+    idx_wr = jnp.take_along_axis(order_n, jnp.minimum(r, min(n, P) - 1), axis=1)
+
+    idx = jnp.where(count > n, idx_wo, jnp.where(count == n, order_n, idx_wr))
+    sel = jnp.take_along_axis(points, idx[..., None], axis=1)
+    return jnp.where(count[..., None] > 2, sel, 0.0)
+
+
+def _augment(pts, valid, box, wlh, key, A=None):
+    """Device apply_augmentation (points_utils.py:313-326): flip/rotate/
+    translate the in-box (factor 1.25) points in the box frame.
+
+    pts (B, P, 3), box (B, 4) -> (new_pts, new_box). Random draws per batch
+    element: t ~ U(-0.3, 0.3)^3, alpha ~ U(-10, 10) deg, flips ~ Bernoulli.
+    """
+    B = pts.shape[0]
+    k_t, k_rot, k_fx, k_fy = jax.random.split(key, 4)
+    t = jax.random.uniform(k_t, (B, 3), minval=-0.3, maxval=0.3)
+    alpha = jnp.deg2rad(jax.random.uniform(k_rot, (B,), minval=-10.0, maxval=10.0))
+    flip_x = jax.random.bernoulli(k_fx, 0.5, (B,))
+    flip_y = jax.random.bernoulli(k_fy, 0.5, (B,))
+
+    mask = rigid.points_in_box(pts, box, wlh, 1.25, A=A) & valid
+    local = rigid.remove_transform_points(pts, box, A=A)
+    lx = jnp.where(flip_x[:, None], -local[..., 0], local[..., 0])
+    ly = jnp.where(flip_y[:, None], -local[..., 1], local[..., 1])
+    local = jnp.stack([lx, ly, local[..., 2]], axis=-1)
+    rot = rigid.rotz(alpha)
+    local = jnp.einsum("bnj,bkj->bnk", local, rot) + t[:, None, :]
+    moved = rigid.apply_transform_points(local, box, A=A)
+    new_pts = jnp.where(mask[..., None], moved, pts)
+
+    # box: theta += pi*flip_x + alpha (flip_y leaves the box, as in the
+    # reference); center translated by t in the original box frame
+    theta_off = jnp.where(flip_x, jnp.pi, 0.0) + alpha
+    offset = jnp.concatenate([t, theta_off[:, None]], axis=-1)
+    new_box = rigid.get_offset_box(box, offset, A=A)
+    return new_pts, new_box
+
+
+def _draw_ref_offset(key, prev_box, wlh, degrees: bool, data_limit_box: bool,
+                     candidate_zero: jnp.ndarray):
+    """sample_offsets + getOffsetBB draw (sampler.py:126-133): 3-DoF
+    (dx, dy, dtheta); candidate 0 is unperturbed. data_limit_box re-draws
+    from U(-1, 1) — here with the jax key, distribution-faithful."""
+    B = prev_box.shape[0]
+    k_o, k_rx, k_ry = jax.random.split(key, 3)
+    off = jax.random.uniform(k_o, (B, 3), minval=-0.3, maxval=0.3)
+    theta = off[:, 2] * (5.0 if degrees else np.deg2rad(5.0))
+    theta = jnp.deg2rad(theta) if degrees else theta
+    dx, dy = off[:, 0], off[:, 1]
+    if data_limit_box:
+        # points_utils.py:70-76 (positive-overshoot quirk); never triggers
+        # for |d| <= 0.3 unless the box is narrower than 0.3 m
+        rx = jax.random.uniform(k_rx, (B,), minval=-1.0, maxval=1.0)
+        ry = jax.random.uniform(k_ry, (B,), minval=-1.0, maxval=1.0)
+        dx = jnp.where(dx > wlh[:, 0], rx, dx)
+        dy = jnp.where(dy > jnp.minimum(wlh[:, 1], 2.0), ry, dy)
+    offset4 = jnp.stack([dx, dy, jnp.zeros_like(dx), theta], axis=-1)
+    offset4 = jnp.where(candidate_zero[:, None], 0.0, offset4)
+    return offset4
+
+
+def make_motion_builder(config, A=None):
+    """Returns build(raw, key) -> batch dict, jit-composable into the train
+    step. Mirrors motion_processing (sampler.py:111-194 here,
+    reference sampler.py:82-180)."""
+    n = int(config.point_sample_size)
+    scale = float(config.bb_scale)
+    offset = float(config.bb_offset)
+    degrees = bool(config.degrees)
+    data_limit_box = bool(getattr(config, "data_limit_box", False))
+    use_aug = bool(getattr(config, "use_augmentation", False))
+    box_aware = bool(getattr(config, "box_aware", False))
+    motion_threshold = float(getattr(config, "motion_threshold", 0.15))
+
+    def build(raw: dict, key: jax.Array) -> dict:
+        prev_pts = raw["prev_pts"]  # (B, P, 3) f32
+        prev_valid = raw["prev_valid"]  # (B, P) bool
+        this_pts = raw["this_pts"]
+        this_valid = raw["this_valid"]
+        prev_box = raw["prev_box"]  # (B, 4) world (c, theta)
+        this_box = raw["this_box"]
+        wlh = raw["wlh"]  # (B, 3)
+        cand0 = raw["candidate_zero"]  # (B,) bool
+        B = prev_pts.shape[0]
+
+        k_aug_p, k_aug_t, k_off, k_sel_p, k_sel_t = jax.random.split(key, 5)
+        if use_aug:
+            prev_pts, prev_box = _augment(
+                prev_pts, prev_valid, prev_box, wlh, k_aug_p, A=A)
+            this_pts, this_box = _augment(
+                this_pts, this_valid, this_box, wlh, k_aug_t, A=A)
+
+        off4 = _draw_ref_offset(k_off, prev_box, wlh, degrees,
+                                data_limit_box, cand0)
+        ref_box = rigid.get_offset_box(prev_box, off4, A=A)
+
+        # subwindow crop + canonicalize both frames around ref_box
+        # (generate_subwindow, points_utils.py:196-230: strict AABB bounds
+        # scale*wlh/2 + offset in the canonical frame)
+        half = (
+            jnp.stack([wlh[:, 1], wlh[:, 0], wlh[:, 2]], axis=-1) * (scale / 2.0)
+            + offset
+        )
+
+        def crop(pts, valid):
+            local = rigid.remove_transform_points(pts, ref_box, A=A)
+            ok = jnp.all(
+                (local < half[:, None, :]) & (local > -half[:, None, :]), axis=-1
+            )
+            return local, ok & valid
+
+        prev_local, prev_ok = crop(prev_pts, prev_valid)
+        this_local, this_ok = crop(this_pts, this_valid)
+        prev_sel = random_select(prev_local, prev_ok, n, k_sel_p)  # (B, n, 3)
+        this_sel = random_select(this_local, this_ok, n, k_sel_t)
+
+        # boxes in the ref frame (transform_box, sampler.py:142-145)
+        this_local_box = rigid.transform_box_params(this_box, ref_box, A=A)
+        prev_local_box = rigid.transform_box_params(prev_box, ref_box, A=A)
+        canonical = jnp.zeros((B, 4), prev_sel.dtype)  # ref in its own frame
+        motion_box = rigid.transform_box_params(this_box, prev_box, A=A)
+
+        seg_label_this = rigid.points_in_box(this_sel, this_local_box, wlh, 1.25)
+        seg_label_prev = rigid.points_in_box(prev_sel, prev_local_box, wlh, 1.25)
+        seg_mask_prev = rigid.points_in_box(
+            prev_sel, canonical, wlh, 1.25
+        ).astype(jnp.float32)
+        soft = jnp.where(seg_mask_prev > 0.5, 0.8, 0.2)
+        seg_mask_prev = jnp.where(cand0[:, None], seg_mask_prev, soft)
+        seg_mask_this = jnp.full((B, n), 0.5, jnp.float32)
+
+        ts_prev = jnp.zeros((B, n, 1), jnp.float32)
+        ts_this = jnp.full((B, n, 1), 0.1, jnp.float32)
+        stack_points = jnp.concatenate(
+            [
+                jnp.concatenate([prev_sel, ts_prev, seg_mask_prev[..., None]], -1),
+                jnp.concatenate([this_sel, ts_this, seg_mask_this[..., None]], -1),
+            ],
+            axis=1,
+        )  # (B, 2n, 5)
+        seg_label = jnp.concatenate([seg_label_prev, seg_label_this], axis=1)
+
+        def params4(b):  # box_to_params: theta already signed about +z
+            return jnp.concatenate(
+                [b[:, :3], (jnp.rad2deg(b[:, 3:4]) if degrees else b[:, 3:4])],
+                axis=-1,
+            )
+
+        motion_state = (
+            jnp.linalg.norm(this_local_box[:, :3] - prev_local_box[:, :3], axis=-1)
+            > motion_threshold
+        )
+
+        batch = {
+            "points": stack_points,
+            "box_label": params4(this_local_box),
+            "box_label_prev": params4(prev_local_box),
+            "motion_label": params4(motion_box),
+            "motion_state_label": motion_state.astype(jnp.int32),
+            "bbox_size": wlh,
+            "seg_label": seg_label.astype(jnp.int32),
+        }
+        if box_aware:
+            prev_bc = rigid.box_cloud(prev_sel, prev_local_box, wlh, A=A)
+            this_bc = rigid.box_cloud(this_sel, this_local_box, wlh, A=A)
+            cand_bc_prev = rigid.box_cloud(prev_sel, canonical, wlh, A=A)
+            batch.update(
+                prev_bc=prev_bc,
+                this_bc=this_bc,
+                candidate_bc=jnp.concatenate(
+                    [cand_bc_prev, jnp.zeros_like(cand_bc_prev)], axis=1
+                ),
+            )
+        return batch
+
+    return build
+
+
+# ---------------------------------------------------------------------------
+# host-side raw batcher
+# ---------------------------------------------------------------------------
+
+class RawMotionSampler:
+    """Host side of the device pipeline: same (anno, candidate) index walk
+    as MotionTrackingSampler, but returns fixed-shape RAW frames + box
+    params instead of built samples. The >10-target-points check runs here
+    (cached per anno) with the reference's resample-on-failure semantics.
+    """
+
+    def __init__(self, dataset, config, max_raw_points: int = 2048):
+        self.dataset = dataset
+        self.config = config
+        self.P = int(max_raw_points)
+        self.num_candidates = int(getattr(config, "num_candidates", 4))
+        tracklet_lens = [
+            dataset.get_num_frames_tracklet(i)
+            for i in range(dataset.get_num_tracklets())
+        ]
+        self._starts = np.cumsum([0] + tracklet_lens)
+        self.num_annos = int(self._starts[-1])
+        self._ok_cache: dict = {}
+        self._A = rigid.up_frame(config.up_axis)
+        self._A_np = None if self._A is None else np.asarray(self._A)
+
+    def __len__(self):
+        return self.num_annos * self.num_candidates
+
+    def _locate(self, anno_id: int):
+        tracklet_id = int(np.searchsorted(self._starts, anno_id, side="right") - 1)
+        this_id = anno_id - self._starts[tracklet_id]
+        prev_id = max(this_id - 1, 0)
+        return tracklet_id, [0, prev_id, this_id]
+
+    def _target_ok(self, anno_id: int, prev_frame) -> bool:
+        """num_points_in_prev_box > 10 (sampler.py:118-119), cached."""
+        hit = self._ok_cache.get(anno_id)
+        if hit is None:
+            cnt = points_utils.points_in_box(
+                prev_frame["3d_bbox"], prev_frame["pc"].points
+            ).sum()
+            hit = bool(cnt > 10)
+            self._ok_cache[anno_id] = hit
+        return hit
+
+    def _box4(self, box) -> np.ndarray:
+        theta = rigid.theta_from_rotation(box.rotation_matrix, self._A_np)
+        return np.append(box.center, theta).astype(np.float32)
+
+    def _pad(self, pc, center) -> tuple:
+        p = pc.points.T.astype(np.float32)
+        if len(p) > self.P:
+            d = np.linalg.norm(p - center[None, :3], axis=1)
+            p = p[np.argsort(d, kind="stable")[: self.P]]
+        out = np.zeros((self.P, 3), np.float32)
+        out[: len(p)] = p
+        valid = np.zeros((self.P,), bool)
+        valid[: len(p)] = True
+        return out, valid
+
+    def __getitem__(self, index: int) -> dict:
+        anno_id = index // self.num_candidates
+        candidate_id = index % self.num_candidates
+        for _ in range(64):  # resample loop (sampler.py:287-288)
+            tracklet_id, frame_ids = self._locate(anno_id)
+            _, prev_frame, this_frame = self.dataset.get_frames(
+                tracklet_id, frame_ids=frame_ids
+            )
+            if self._target_ok(anno_id, prev_frame):
+                break
+            anno_id = int(np.random.randint(0, self.num_annos))
+        prev_box = self._box4(prev_frame["3d_bbox"])
+        this_box = self._box4(this_frame["3d_bbox"])
+        prev_pts, prev_valid = self._pad(prev_frame["pc"], prev_box)
+        this_pts, this_valid = self._pad(this_frame["pc"], prev_box)
+        return {
+            "prev_pts": prev_pts,
+            "prev_valid": prev_valid,
+            "this_pts": this_pts,
+            "this_valid": this_valid,
+            "prev_box": prev_box,
+            "this_box": this_box,
+            "wlh": prev_frame["3d_bbox"].wlh.astype(np.float32),
+            "candidate_zero": np.bool_(candidate_id == 0),
+        }

@@ -69,7 +69,8 @@ def create_train_state(model, rng: jax.Array, optimizer) -> TrainState:
 
 
 def make_train_step(model, optimizer, mesh=None, donate: bool = True,
-                    bn_schedule: bool = False):
+                    bn_schedule: bool = False, device_builder=None,
+                    sampler_seed: int = 0):
     """Build the jitted train step. With a mesh, the batch is sharded over
     the 'data' axis and state is replicated; single-device otherwise.
 
@@ -77,6 +78,11 @@ def make_train_step(model, optimizer, mesh=None, donate: bool = True,
     flax BN momentum — and re-blends the running statistics accordingly
     (train/bn_momentum.py; replaces the reference's BNMomentumScheduler
     live-module mutation, pytorch_utils.py:272-297, without recompiles).
+
+    With device_builder (data/device_sampler.py), the incoming batch is RAW
+    padded frames and the whole sample build (crop/resample/labels) runs
+    inside this jitted step, keyed by fold_in(seed, state.step) — the
+    1-core host only pads frames (~10x data-bound otherwise).
     """
 
     def loss_fn(params, batch_stats, batch):
@@ -86,6 +92,9 @@ def make_train_step(model, optimizer, mesh=None, donate: bool = True,
         return loss_dict["loss_total"], (mutated["batch_stats"], loss_dict)
 
     def step_core(state: TrainState, batch, bn_momentum=None):
+        if device_builder is not None:
+            key = jax.random.fold_in(jax.random.PRNGKey(sampler_seed), state.step)
+            batch = device_builder(batch, key)
         grad_fn = jax.grad(loss_fn, has_aux=True)
         grads, (new_bs, loss_dict) = grad_fn(state.params, state.batch_stats, batch)
         if bn_momentum is not None:
@@ -160,6 +169,28 @@ class Trainer:
                 f"{n_dev} devices; using a {usable}-device mesh"
             )
             self.mesh = make_mesh(usable)
+        # on-device sample building (data/device_sampler.py): swap the host
+        # sampler for its raw-frame twin; the build runs inside the jitted
+        # step (motion path only — siamese models keep the host pipeline)
+        device_builder = None
+        if (
+            getattr(cfg, "device_sampler", False)
+            and getattr(cfg, "train_type", "") == "train_motion"
+            and hasattr(train_sampler, "dataset")
+        ):
+            from open3dsot_tpu.data.device_sampler import (
+                RawMotionSampler,
+                make_motion_builder,
+            )
+            from open3dsot_tpu.geometry import rigid
+
+            train_sampler = RawMotionSampler(
+                train_sampler.dataset, cfg,
+                max_raw_points=int(getattr(cfg, "max_raw_points", 2048)),
+            )
+            device_builder = make_motion_builder(
+                cfg, A=rigid.up_frame(cfg.up_axis)
+            )
         loader = BatchLoader(
             train_sampler, cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.seed,
             workers=getattr(cfg, "workers", 0) or 0,
@@ -191,7 +222,9 @@ class Trainer:
                 step_size=int(cfg.bn_decay_step),
             )
         train_step = make_train_step(self.model, optimizer, mesh=self.mesh,
-                                     bn_schedule=bn_sched is not None)
+                                     bn_schedule=bn_sched is not None,
+                                     device_builder=device_builder,
+                                     sampler_seed=int(cfg.seed) + 1)
 
         for epoch in range(start_epoch, epochs):
             loader.set_epoch(epoch)

@@ -1,0 +1,207 @@
+"""On-device training-sample builder vs the host numpy sampler.
+
+The deterministic surfaces (crop bounds, canonicalization, labels, masks,
+BoxClouds) must agree exactly with motion_processing; the random surfaces
+(resampling, offsets, augmentation) are distribution-equivalent and are
+checked via invariants.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open3dsot_tpu.config import make_config
+from open3dsot_tpu.data.device_sampler import (
+    RawMotionSampler,
+    make_motion_builder,
+    random_select,
+)
+from open3dsot_tpu.data.sampler import motion_processing
+from open3dsot_tpu.geometry.data_classes import Box, PointCloud
+from open3dsot_tpu.geometry.quaternion import Quaternion
+
+
+def _cfg(**over):
+    base = dict(
+        dataset="synthetic",
+        net_model="m2track",
+        category_name="Car",
+        point_sample_size=64,
+        bb_scale=1.0,
+        bb_offset=0.1,
+        degrees=False,
+        up_axis=[0, 0, 1],
+        train_type="train_motion",
+        num_candidates=2,
+        box_aware=True,
+        use_augmentation=False,
+        data_limit_box=False,
+        motion_threshold=0.15,
+        syn_num_tracklets=2,
+        syn_tracklet_len=6,
+        seed=0,
+    )
+    base.update(over)
+    return make_config(base)
+
+
+def _frame(points_w, box):
+    return {"pc": PointCloud(points_w.T.copy()), "3d_bbox": box}
+
+
+def _mk_box(center, theta, wlh):
+    return Box(list(center), list(wlh), Quaternion(axis=[0, 0, 1], radians=theta))
+
+
+def test_deterministic_case_matches_host():
+    """candidate 0 (ref box == prev box), no augmentation, and exactly n
+    points inside each subwindow -> both paths are deterministic and must
+    agree to float tolerance."""
+    cfg = _cfg()
+    n = cfg.point_sample_size
+    rng = np.random.default_rng(3)
+    wlh = np.array([1.8, 4.2, 1.6], np.float32)
+    prev_box = _mk_box([10.0, -4.0, 0.5], 0.7, wlh)
+    this_box = _mk_box([10.4, -3.8, 0.55], 0.8, wlh)
+
+    # n points strictly inside the prev-box subwindow (local coords), half
+    # inside the box itself so seg labels are non-trivial
+    half = np.array([wlh[1], wlh[0], wlh[2]]) * cfg.bb_scale / 2 + cfg.bb_offset
+    local = (rng.random((n, 3)) * 2 - 1) * (half * 0.95)
+    local[: n // 2] *= 0.2  # cluster half the points near the center
+    R = prev_box.rotation_matrix
+    world_prev = local @ R.T + prev_box.center
+    world_this = (local * 0.9) @ R.T + prev_box.center
+
+    data = {
+        "prev_frame": _frame(world_prev, prev_box),
+        "this_frame": _frame(world_this, this_box),
+        "candidate_id": 0,
+    }
+    host = motion_processing(data, cfg)
+
+    raw = {
+        "prev_pts": jnp.asarray(world_prev, jnp.float32)[None],
+        "prev_valid": jnp.ones((1, n), bool),
+        "this_pts": jnp.asarray(world_this, jnp.float32)[None],
+        "this_valid": jnp.ones((1, n), bool),
+        "prev_box": jnp.asarray(
+            np.append(prev_box.center, 0.7), jnp.float32)[None],
+        "this_box": jnp.asarray(
+            np.append(this_box.center, 0.8), jnp.float32)[None],
+        "wlh": jnp.asarray(wlh)[None],
+        "candidate_zero": jnp.asarray([True]),
+    }
+    build = make_motion_builder(cfg)
+    dev = jax.jit(build)(raw, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(
+        np.asarray(dev["points"][0]), host["points"], atol=2e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dev["seg_label"][0]), host["seg_label"]
+    )
+    for k in ("box_label", "box_label_prev", "motion_label"):
+        np.testing.assert_allclose(
+            np.asarray(dev[k][0]), host[k], atol=2e-5, rtol=1e-5
+        )
+    assert int(dev["motion_state_label"][0]) == int(host["motion_state_label"])
+    np.testing.assert_allclose(np.asarray(dev["bbox_size"][0]), host["bbox_size"])
+    for k in ("prev_bc", "this_bc", "candidate_bc"):
+        np.testing.assert_allclose(
+            np.asarray(dev[k][0]), host[k], atol=2e-4, rtol=1e-4
+        )
+
+
+@pytest.mark.parametrize("m,n", [(48, 16), (16, 16), (7, 16), (2, 16)])
+def test_random_select_choice_semantics(m, n):
+    P = 128
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.standard_normal((1, P, 3)), jnp.float32)
+    valid = jnp.asarray((np.arange(P) % 2 == 0) & (np.arange(P) < 2 * m))[None]
+    assert int(valid.sum()) == m
+    sel = np.asarray(random_select(pts, valid, n, jax.random.PRNGKey(1))[0])
+    valid_rows = np.asarray(pts[0])[np.asarray(valid[0])]
+    if m <= 2:
+        assert np.all(sel == 0.0)
+        return
+    # every selected row is one of the valid rows
+    d = np.abs(sel[:, None, :] - valid_rows[None, :, :]).sum(-1).min(1)
+    assert np.max(d) < 1e-6
+    if m > n:  # without replacement: all distinct
+        assert len({tuple(r) for r in sel.round(5)}) == n
+    if m == n:  # identity in index order
+        np.testing.assert_allclose(sel, valid_rows)
+
+
+def test_raw_sampler_and_jit_build_end_to_end():
+    cfg = _cfg(point_sample_size=32, use_augmentation=True, num_candidates=2)
+    from open3dsot_tpu.data import get_dataset
+
+    ds = get_dataset(cfg, "train_motion", "train").dataset  # unwrap sampler
+    raw_sampler = RawMotionSampler(ds, cfg, max_raw_points=128)
+    assert len(raw_sampler) == raw_sampler.num_annos * 2
+    from open3dsot_tpu.data.loader import collate
+
+    batch = collate([raw_sampler[i] for i in [0, 1, 5, 7]])
+    raw = {k: jnp.asarray(v) for k, v in batch.items()}
+    build = jax.jit(make_motion_builder(cfg))
+    out = build(raw, jax.random.PRNGKey(7))
+    n = cfg.point_sample_size
+    assert out["points"].shape == (4, 2 * n, 5)
+    assert out["seg_label"].shape == (4, 2 * n)
+    assert out["candidate_bc"].shape == (4, 2 * n, 9)
+    pts = np.asarray(out["points"])
+    # timestamp channels: 0.0 first half, 0.1 second half
+    assert np.all(pts[:, :n, 3] == 0.0) and np.allclose(pts[:, n:, 3], 0.1)
+    # prev mask soft values for candidate!=0 rows, hard for candidate 0
+    cand0 = np.asarray(raw["candidate_zero"])
+    for b in range(4):
+        vals = np.unique(pts[b, :n, 4]).astype(np.float64)
+        allowed = [0.0, 1.0] if cand0[b] else [0.2, 0.8]
+        assert all(any(abs(v - a) < 1e-6 for a in allowed) for v in vals), vals
+    assert np.allclose(pts[:, n:, 4], 0.5)
+
+
+def test_augmentation_preserves_point_count_and_moves_box():
+    cfg = _cfg(use_augmentation=True)
+    from open3dsot_tpu.data.device_sampler import _augment
+
+    rng = np.random.default_rng(5)
+    pts = jnp.asarray(rng.standard_normal((2, 64, 3)) * 3, jnp.float32)
+    valid = jnp.ones((2, 64), bool)
+    box = jnp.asarray([[0.0, 0, 0, 0.3], [1.0, 2, 0, -0.5]], jnp.float32)
+    wlh = jnp.asarray([[2.0, 4, 2], [2.0, 4, 2]], jnp.float32)
+    new_pts, new_box = _augment(pts, valid, box, wlh, jax.random.PRNGKey(3))
+    assert new_pts.shape == pts.shape
+    # out-of-box points untouched
+    from open3dsot_tpu.geometry import rigid
+
+    mask = np.asarray(rigid.points_in_box(pts, box, wlh, 1.25))
+    np.testing.assert_allclose(
+        np.asarray(new_pts)[~mask], np.asarray(pts)[~mask]
+    )
+    # box moved but stayed near (|t| <= 0.3*sqrt(3), theta may flip by pi)
+    d = np.linalg.norm(np.asarray(new_box[:, :3] - box[:, :3]), axis=-1)
+    assert np.all(d <= 0.3 * np.sqrt(3) + 1e-6)
+
+
+def test_trainer_fit_with_device_sampler(tmp_path):
+    """End-to-end: Trainer.fit with device_sampler=True swaps in the raw
+    sampler and builds samples inside the jitted step."""
+    from tests.test_trainer import cfg_for_trainer
+    from open3dsot_tpu.data import get_dataset
+    from open3dsot_tpu.models import get_model
+    from open3dsot_tpu.train.trainer import Trainer
+
+    cfg = cfg_for_trainer(tmp_path, device_sampler=True, max_raw_points=128,
+                          box_aware=True, use_augmentation=True, bc_weight=1.0)
+    model = get_model("m2track")(cfg)
+    train_sampler = get_dataset(cfg, "train_motion", "train")
+    trainer = Trainer(model, cfg, work_dir=str(tmp_path))
+    state = trainer.fit(train_sampler, val_sampler=None, epochs=1)
+    assert int(state.step) > 0
+    assert np.isfinite(trainer.history[-1]["loss"])
