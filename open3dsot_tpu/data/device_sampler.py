@@ -345,3 +345,211 @@ class RawMotionSampler:
             "wlh": prev_frame["3d_bbox"].wlh.astype(np.float32),
             "candidate_zero": np.bool_(candidate_id == 0),
         }
+
+
+# ---------------------------------------------------------------------------
+# siamese (P2B / BAT) path
+# ---------------------------------------------------------------------------
+
+def _limit_redraw(key, dx, dy, wlh, data_limit_box: bool):
+    """getOffsetBB's limit_box redraw (points_utils.py:70-76) with jax
+    draws: distribution-faithful U(-1,1) replacement, positive-overshoot
+    quirk preserved."""
+    if not data_limit_box:
+        return dx, dy
+    k_x, k_y = jax.random.split(key)
+    rx = jax.random.uniform(k_x, dx.shape, minval=-1.0, maxval=1.0)
+    ry = jax.random.uniform(k_y, dy.shape, minval=-1.0, maxval=1.0)
+    dx = jnp.where(dx > wlh[:, 0], rx, dx)
+    dy = jnp.where(dy > jnp.minimum(wlh[:, 1], 2.0), ry, dy)
+    return dx, dy
+
+
+def make_siamese_builder(config, A=None):
+    """Device twin of siamese_processing (sampler.py:38-108; reference
+    sampler.py:16-79): perturbed-template merge, Kalman search offset,
+    subwindow crop, strict seg labels, 4-DoF regression target, BoxClouds.
+
+    Same random-surface policy as the motion builder: jax draws,
+    distribution-equivalent to the host's np.random stream. The >20-point
+    template/search asserts are not replicated (the sample is kept; its
+    crop is zero-padded) — the reference instead resamples a fresh index.
+    """
+    t_size = int(config.template_size)
+    s_size = int(config.search_size)
+    m_scale = float(config.model_bb_scale)
+    m_offset = float(config.model_bb_offset)
+    s_scale = float(config.search_bb_scale)
+    s_offset = float(config.search_bb_offset)
+    degrees = bool(config.degrees)
+    data_limit_box = bool(getattr(config, "data_limit_box", False))
+    use_aug = bool(getattr(config, "use_augmentation", False))
+    box_aware = bool(getattr(config, "box_aware", False))
+    num_candidates = int(getattr(config, "num_candidates", 1))
+    # Kalman bnd (searchspace.py:75-96 fresh state: N(0, diag(bnd)))
+    ang_var = 5.0 if degrees else float(np.deg2rad(5.0))
+
+    def crop_canonical(pts, valid, box, wlh, scale, offset):
+        """cropAndCenterPC / generate_subwindow final membership: canonical
+        frame, strict AABB at wlh_vec*scale/2 + offset."""
+        local = rigid.remove_transform_points(pts, box, A=A)
+        half = (
+            jnp.stack([wlh[:, 1], wlh[:, 0], wlh[:, 2]], axis=-1) * (scale / 2.0)
+            + offset
+        )
+        ok = jnp.all(
+            (local < half[:, None, :]) & (local > -half[:, None, :]), axis=-1
+        )
+        return local, ok & valid
+
+    def build(raw: dict, key: jax.Array) -> dict:
+        first_pts, first_valid = raw["first_pts"], raw["first_valid"]
+        tmpl_pts, tmpl_valid = raw["template_pts"], raw["template_valid"]
+        srch_pts, srch_valid = raw["search_pts"], raw["search_valid"]
+        first_box = raw["first_box"]
+        tmpl_box = raw["template_box"]
+        srch_box = raw["search_box"]
+        wlh = raw["wlh"]
+        cand0 = raw["candidate_zero"]  # (B,)
+        B = first_pts.shape[0]
+
+        (k_aug, k_toff, k_tlim, k_koff, k_klim,
+         k_sel_t, k_sel_s) = jax.random.split(key, 7)
+        if use_aug:  # search frame only (PointTrackingSampler.__getitem__)
+            srch_pts, srch_box = _augment(
+                srch_pts, srch_valid, srch_box, wlh, k_aug, A=A)
+
+        # template gt-offset draw (sampler.py:53-60)
+        off = jax.random.uniform(k_toff, (B, 3), minval=-0.3, maxval=0.3)
+        t_theta_units = off[:, 2] * (5.0 if degrees else np.deg2rad(5.0))
+        t_theta = jnp.deg2rad(t_theta_units) if degrees else t_theta_units
+        tdx, tdy = _limit_redraw(k_tlim, off[:, 0], off[:, 1], wlh,
+                                 data_limit_box)
+        t_off4 = jnp.stack(
+            [tdx, tdy, jnp.zeros_like(tdx), t_theta], axis=-1)
+        t_off4 = jnp.where(cand0[:, None], 0.0, t_off4)
+        tmpl_ref = rigid.get_offset_box(tmpl_box, t_off4, A=A)
+
+        # template = merge(first crop | perturbed template crop), resampled
+        f_local, f_ok = crop_canonical(
+            first_pts, first_valid, first_box, wlh, m_scale, m_offset)
+        t_local, t_ok = crop_canonical(
+            tmpl_pts, tmpl_valid, tmpl_ref, wlh, m_scale, m_offset)
+        merged = jnp.concatenate([f_local, t_local], axis=1)
+        merged_ok = jnp.concatenate([f_ok, t_ok], axis=1)
+        template_points = random_select(merged, merged_ok, t_size, k_sel_t)
+
+        # search offset: fresh-Kalman gaussian N(0, diag([1, 1, ang_var]))
+        # (sampler.py:70-77); candidate 0 unperturbed only when
+        # num_candidates > 1
+        g = jax.random.normal(k_koff, (B, 3)) * jnp.sqrt(
+            jnp.asarray([1.0, 1.0, ang_var]))
+        s_theta = jnp.deg2rad(g[:, 2]) if degrees else g[:, 2]
+        sdx, sdy = _limit_redraw(k_klim, g[:, 0], g[:, 1], wlh,
+                                 data_limit_box)
+        s_off4 = jnp.stack([sdx, sdy, jnp.zeros_like(sdx), s_theta], axis=-1)
+        if num_candidates > 1:
+            s_off4 = jnp.where(cand0[:, None], 0.0, s_off4)
+            drawn_theta_units = jnp.where(cand0, 0.0, g[:, 2])
+        else:
+            drawn_theta_units = g[:, 2]
+        sample_bb = rigid.get_offset_box(srch_box, s_off4, A=A)
+
+        s_local, s_ok = crop_canonical(
+            srch_pts, srch_valid, sample_bb, wlh, s_scale, s_offset)
+        search_points = random_select(s_local, s_ok, s_size, k_sel_s)
+
+        # labels (sampler.py:82-93): box center in the sample_bb frame,
+        # theta = NEGATED drawn offset in config units (the model regresses
+        # the un-perturbation, not the true relative angle)
+        srch_local_box = rigid.transform_box_params(srch_box, sample_bb, A=A)
+        box_label = jnp.concatenate(
+            [srch_local_box[:, :3], -drawn_theta_units[:, None]], axis=-1)
+        seg_label = rigid.points_in_box(
+            search_points, srch_local_box, wlh, 1.0, A=A, strict=True
+        ).astype(jnp.float32)
+
+        batch = {
+            "template_points": template_points,
+            "search_points": search_points,
+            "box_label": box_label,
+            "bbox_size": wlh,
+            "seg_label": seg_label,
+        }
+        if box_aware:
+            canonical = jnp.zeros((B, 4), template_points.dtype)
+            batch["points2cc_dist_t"] = rigid.box_cloud(
+                template_points, canonical, wlh, A=A)
+            batch["points2cc_dist_s"] = rigid.box_cloud(
+                search_points, srch_local_box, wlh, A=A)
+        return batch
+
+    return build
+
+
+class RawSiameseSampler:
+    """Host side of the siamese device pipeline: PointTrackingSampler's
+    (anno, candidate) walk returning RAW fixed-shape frames (first,
+    template, search) + box params."""
+
+    def __init__(self, dataset, config, max_raw_points: int = 2048):
+        self.dataset = dataset
+        self.config = config
+        self.P = int(max_raw_points)
+        self.num_candidates = int(getattr(config, "num_candidates", 1))
+        self.random_sample = bool(getattr(config, "random_sample", False))
+        self.sample_per_epoch = int(getattr(config, "sample_per_epoch", 10000))
+        if not self.random_sample:
+            tracklet_lens = [
+                dataset.get_num_frames_tracklet(i)
+                for i in range(dataset.get_num_tracklets())
+            ]
+            self._starts = np.cumsum([0] + tracklet_lens)
+        self._A = rigid.up_frame(config.up_axis)
+        self._A_np = None if self._A is None else np.asarray(self._A)
+
+    def __len__(self):
+        if self.random_sample:
+            return self.sample_per_epoch * self.num_candidates
+        return int(self._starts[-1]) * self.num_candidates
+
+    def _box4(self, box) -> np.ndarray:
+        theta = rigid.theta_from_rotation(box.rotation_matrix, self._A_np)
+        return np.append(box.center, theta).astype(np.float32)
+
+    def _pad(self, pc, center) -> tuple:
+        p = pc.points.T.astype(np.float32)
+        if len(p) > self.P:
+            d = np.linalg.norm(p - center[None, :3], axis=1)
+            p = p[np.argsort(d, kind="stable")[: self.P]]
+        out = np.zeros((self.P, 3), np.float32)
+        out[: len(p)] = p
+        valid = np.zeros((self.P,), bool)
+        valid[: len(p)] = True
+        return out, valid
+
+    def __getitem__(self, index: int) -> dict:
+        anno_id = index // self.num_candidates
+        candidate_id = index % self.num_candidates
+        if self.random_sample:
+            tracklet_id = int(np.random.randint(0, self.dataset.get_num_tracklets()))
+            n_frames = len(self.dataset.tracklet_anno_list[tracklet_id])
+            frame_ids = [0] + list(
+                np.random.choice(n_frames, size=2, replace=False)
+            )
+        else:
+            tracklet_id = int(
+                np.searchsorted(self._starts, anno_id, side="right") - 1)
+            this_id = anno_id - self._starts[tracklet_id]
+            frame_ids = [0, max(this_id - 1, 0), this_id]
+        first, tmpl, srch = self.dataset.get_frames(tracklet_id, frame_ids=frame_ids)
+        out = {}
+        for name, frame in (("first", first), ("template", tmpl), ("search", srch)):
+            box4 = self._box4(frame["3d_bbox"])
+            pts, valid = self._pad(frame["pc"], box4)
+            out[f"{name}_pts"] = pts
+            out[f"{name}_valid"] = valid
+            out[f"{name}_box"] = box4
+        out["wlh"] = first["3d_bbox"].wlh.astype(np.float32)
+        out["candidate_zero"] = np.bool_(candidate_id == 0)
+        return out

@@ -169,11 +169,18 @@ def box_cloud(points: jnp.ndarray, box: jnp.ndarray, wlh: jnp.ndarray, A=None) -
 
 
 def points_in_box(points: jnp.ndarray, box: jnp.ndarray, wlh: jnp.ndarray,
-                  wlh_factor: float = 1.0, A=None) -> jnp.ndarray:
-    """Inclusive in-box mask (B, N) for (B, N, 3) points and (B, 4) boxes."""
+                  wlh_factor: float = 1.0, A=None, strict: bool = False) -> jnp.ndarray:
+    """In-box mask (B, N) for (B, N, 3) points and (B, 4) boxes.
+
+    Inclusive (<=) by default, matching nuscenes points_in_box (the motion
+    sampler's labels); strict (<) matches get_in_box_mask's AABB comparison
+    (the siamese sampler's seg labels) — the reference uses BOTH, and the
+    difference is an exact-parity surface (CLAUDE.md)."""
     local = remove_transform_points(points, box, A=A)  # (B, N, 3)
     half = jnp.stack([wlh[:, 1], wlh[:, 0], wlh[:, 2]], axis=-1) * (wlh_factor / 2.0)
-    return jnp.all(jnp.abs(local) <= half[:, None, :], axis=-1)
+    a = jnp.abs(local)
+    h = half[:, None, :]
+    return jnp.all(a < h if strict else a <= h, axis=-1)
 
 
 def limit_box_offset(offset: jnp.ndarray, wlh: jnp.ndarray, use_z: bool) -> jnp.ndarray:

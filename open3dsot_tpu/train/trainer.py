@@ -171,26 +171,23 @@ class Trainer:
             self.mesh = make_mesh(usable)
         # on-device sample building (data/device_sampler.py): swap the host
         # sampler for its raw-frame twin; the build runs inside the jitted
-        # step (motion path only — siamese models keep the host pipeline)
+        # step (both train_motion and train_siamese)
         device_builder = None
-        if (
-            getattr(cfg, "device_sampler", False)
-            and getattr(cfg, "train_type", "") == "train_motion"
-            and hasattr(train_sampler, "dataset")
-        ):
-            from open3dsot_tpu.data.device_sampler import (
-                RawMotionSampler,
-                make_motion_builder,
-            )
+        if getattr(cfg, "device_sampler", False) and hasattr(train_sampler, "dataset"):
+            from open3dsot_tpu.data import device_sampler as ds
             from open3dsot_tpu.geometry import rigid
 
-            train_sampler = RawMotionSampler(
-                train_sampler.dataset, cfg,
-                max_raw_points=int(getattr(cfg, "max_raw_points", 2048)),
-            )
-            device_builder = make_motion_builder(
-                cfg, A=rigid.up_frame(cfg.up_axis)
-            )
+            A = rigid.up_frame(cfg.up_axis)
+            raw_p = int(getattr(cfg, "max_raw_points", 2048))
+            ttype = getattr(cfg, "train_type", "")
+            if ttype == "train_motion":
+                train_sampler = ds.RawMotionSampler(
+                    train_sampler.dataset, cfg, max_raw_points=raw_p)
+                device_builder = ds.make_motion_builder(cfg, A=A)
+            elif ttype == "train_siamese":
+                train_sampler = ds.RawSiameseSampler(
+                    train_sampler.dataset, cfg, max_raw_points=raw_p)
+                device_builder = ds.make_siamese_builder(cfg, A=A)
         loader = BatchLoader(
             train_sampler, cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.seed,
             workers=getattr(cfg, "workers", 0) or 0,

@@ -205,3 +205,113 @@ def test_trainer_fit_with_device_sampler(tmp_path):
     state = trainer.fit(train_sampler, val_sampler=None, epochs=1)
     assert int(state.step) > 0
     assert np.isfinite(trainer.history[-1]["loss"])
+
+
+def test_siamese_deterministic_case_matches_host():
+    """Siamese builder vs host siamese_processing: candidate 0 (template and
+    search offsets both zero when num_candidates > 1), no augmentation,
+    crop counts exactly equal to the template/search sizes."""
+    from open3dsot_tpu.data.device_sampler import make_siamese_builder
+    from open3dsot_tpu.data.sampler import siamese_processing
+
+    t_size, s_size = 48, 64
+    cfg = make_config(dict(
+        dataset="synthetic", net_model="bat", category_name="Car",
+        template_size=t_size, search_size=s_size,
+        model_bb_scale=1.25, model_bb_offset=0.0,
+        search_bb_scale=1.25, search_bb_offset=2.0,
+        degrees=True, up_axis=[0, 0, 1], data_limit_box=False,
+        train_type="train_siamese", num_candidates=4, box_aware=True,
+        use_augmentation=False, syn_num_tracklets=2, syn_tracklet_len=4,
+        seed=0,
+    ))
+    rng = np.random.default_rng(11)
+    wlh = np.array([1.7, 4.0, 1.5], np.float32)
+    first_box = _mk_box([2.0, 1.0, 0.2], 0.4, wlh)
+    tmpl_box = _mk_box([2.5, 1.5, 0.25], 0.5, wlh)
+    srch_box = _mk_box([3.0, 2.0, 0.3], 0.6, wlh)
+
+    def pts_inside(box, count, scale, offset, squeeze=0.9):
+        half = (np.array([wlh[1], wlh[0], wlh[2]]) * scale / 2 + offset) * squeeze
+        local = (rng.random((count, 3)) * 2 - 1) * half
+        local[: count // 2] *= 0.15  # some points inside the box itself
+        return local @ box.rotation_matrix.T + box.center
+
+    n_first, n_tmpl = 20, t_size - 20
+    w_first = pts_inside(first_box, n_first, cfg.model_bb_scale, cfg.model_bb_offset)
+    w_tmpl = pts_inside(tmpl_box, n_tmpl, cfg.model_bb_scale, cfg.model_bb_offset)
+    w_srch = pts_inside(srch_box, s_size, cfg.search_bb_scale, cfg.search_bb_offset)
+
+    host = siamese_processing({
+        "first_frame": _frame(w_first, first_box),
+        "template_frame": _frame(w_tmpl, tmpl_box),
+        "search_frame": _frame(w_srch, srch_box),
+        "candidate_id": 0,
+    }, cfg)
+
+    P = 80
+
+    def pad(w):
+        out = np.zeros((P, 3), np.float32)
+        out[: len(w)] = w
+        v = np.zeros((P,), bool)
+        v[: len(w)] = True
+        return out[None], v[None]
+
+    fp, fv = pad(w_first)
+    tp, tv = pad(w_tmpl)
+    sp, sv = pad(w_srch)
+    raw = {
+        "first_pts": jnp.asarray(fp), "first_valid": jnp.asarray(fv),
+        "template_pts": jnp.asarray(tp), "template_valid": jnp.asarray(tv),
+        "search_pts": jnp.asarray(sp), "search_valid": jnp.asarray(sv),
+        "first_box": jnp.asarray(np.append(first_box.center, 0.4), jnp.float32)[None],
+        "template_box": jnp.asarray(np.append(tmpl_box.center, 0.5), jnp.float32)[None],
+        "search_box": jnp.asarray(np.append(srch_box.center, 0.6), jnp.float32)[None],
+        "wlh": jnp.asarray(wlh)[None],
+        "candidate_zero": jnp.asarray([True]),
+    }
+    dev = jax.jit(make_siamese_builder(cfg))(raw, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(
+        np.asarray(dev["template_points"][0]), host["template_points"], atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(dev["search_points"][0]), host["search_points"], atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(dev["box_label"][0]), host["box_label"], atol=2e-5)
+    np.testing.assert_array_equal(
+        np.asarray(dev["seg_label"][0]), host["seg_label"])
+    np.testing.assert_allclose(np.asarray(dev["bbox_size"][0]), host["bbox_size"])
+    for k in ("points2cc_dist_t", "points2cc_dist_s"):
+        np.testing.assert_allclose(
+            np.asarray(dev[k][0]), host[k], atol=2e-4, rtol=1e-4)
+
+
+def test_trainer_fit_siamese_device_sampler(tmp_path):
+    from open3dsot_tpu.data import get_dataset
+    from open3dsot_tpu.models import get_model
+    from open3dsot_tpu.train.trainer import Trainer
+
+    cfg = make_config(dict(
+        dataset="synthetic", net_model="bat", category_name="Car",
+        template_size=32, search_size=64,
+        model_bb_scale=1.25, model_bb_offset=0.0,
+        search_bb_scale=1.25, search_bb_offset=2.0,
+        degrees=True, up_axis=[0, 0, 1], data_limit_box=True,
+        train_type="train_siamese", num_candidates=2, box_aware=True,
+        use_augmentation=True, feature_channel=16, hidden_channel=16,
+        out_channel=16, vote_channel=16, num_proposal=8, k=2, bc_channel=9,
+        use_fps=True, normalize_xyz=False,
+        objectiveness_weight=1.0, box_weight=0.2, seg_weight=0.1,
+        vote_weight=1.0, bc_weight=1.0,
+        batch_size=4, epoch=1, lr=1e-3, optimizer="Adam",
+        lr_decay_step=20, lr_decay_rate=0.1, wd=0.0, gradient_clip_val=0.0,
+        log_dir=str(tmp_path), syn_num_tracklets=2, syn_tracklet_len=4,
+        seed=0, device_sampler=True, max_raw_points=128,
+    ))
+    model = get_model("bat")(cfg)
+    sampler = get_dataset(cfg, "train_siamese", "train")
+    trainer = Trainer(model, cfg, work_dir=str(tmp_path))
+    state = trainer.fit(sampler, val_sampler=None, epochs=1)
+    assert int(state.step) > 0
+    assert np.isfinite(trainer.history[-1]["loss"])
