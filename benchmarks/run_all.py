@@ -70,9 +70,21 @@ def main():
         make_train_step,
     )
 
-    rows = []
+    class Rows(list):
+        def append(self, item):  # live progress: long run, many compiles
+            print(f"[row] {item[0]}: {item[1]}", flush=True)
+            super().append(item)
+
+    rows = Rows()
     backend = jax.default_backend()
     dev = jax.devices()[0]
+    # comma list of sections (m2eval,bateval,kernels,train,dstrain): the
+    # remote compile helper makes a full run exceed a 10-min window, so the
+    # suite can run per-section; partial runs MERGE into BENCH_DETAILS.md
+    only = os.environ.get("BENCH_ONLY", "")
+
+    def _want(section: str) -> bool:
+        return (not only) or section in only.split(",")
 
     # ---------------- M2-Track eval paths ----------------
     m2_cfg = make_config(
@@ -93,46 +105,49 @@ def main():
     seqs = [sampler[i] for i in range(len(sampler))]
     frames = sum(len(s) for s in seqs)
 
-    # host per-frame loop (fidelity path; tunnel-latency bound here)
-    host = Tracker(m2, m2_vars)
-    host.evaluate_one_sequence(seqs[0], m2_cfg)  # compile
-    t0 = time.perf_counter()
-    for s in seqs[:2]:
-        host.evaluate_one_sequence(s, m2_cfg)
-    host_fps = sum(len(s) for s in seqs[:2]) / (time.perf_counter() - t0)
-    rows.append(("M2-Track eval, host per-frame loop (tunnel-latency bound)",
-                 f"{host_fps:.0f} frames/s"))
-
-    scan = M2ScanTracker(m2, m2_vars, m2_cfg, max_points=1024, frame_bucket=64)
-    scan.track_batch([seqs[0]])  # compile; fences via np.asarray internally
-    t0 = time.perf_counter()
-    for s in seqs:
-        scan.track_batch([s])
-    rows.append(("M2-Track eval, scan (1 tracklet/dispatch)",
-                 f"{frames / (time.perf_counter() - t0):.0f} frames/s"))
-
-    scan.track_batch(seqs)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        scan.track_batch(seqs)
-    dt = (time.perf_counter() - t0) / 3
-    rows.append(("M2-Track eval, batched scan (8 tracklets/dispatch)",
-                 f"{frames / dt:.0f} frames/s"))
-
-    # bf16 batched scan
     import copy as _copy
 
     m2_cfg16 = _copy.deepcopy(m2_cfg)
     m2_cfg16.bf16 = True
-    m2_16 = get_model("m2track")(m2_cfg16)
-    scan16 = M2ScanTracker(m2_16, m2_vars, m2_cfg16, max_points=1024, frame_bucket=64)
-    scan16.track_batch(seqs)
-    t0 = time.perf_counter()
-    for _ in range(3):
+
+    if _want("m2eval"):
+        # host per-frame loop (fidelity path; tunnel-latency bound here)
+        host = Tracker(m2, m2_vars)
+        host.evaluate_one_sequence(seqs[0], m2_cfg)  # compile
+        t0 = time.perf_counter()
+        for s in seqs[:2]:
+            host.evaluate_one_sequence(s, m2_cfg)
+        host_fps = sum(len(s) for s in seqs[:2]) / (time.perf_counter() - t0)
+        rows.append(("M2-Track eval, host per-frame loop (tunnel-latency bound)",
+                     f"{host_fps:.0f} frames/s"))
+
+        scan = M2ScanTracker(m2, m2_vars, m2_cfg, max_points=1024, frame_bucket=64)
+        scan.track_batch([seqs[0]])  # compile; fences via np.asarray internally
+        t0 = time.perf_counter()
+        for s in seqs:
+            scan.track_batch([s])
+        rows.append(("M2-Track eval, scan (1 tracklet/dispatch)",
+                     f"{frames / (time.perf_counter() - t0):.0f} frames/s"))
+
+        scan.track_batch(seqs)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            scan.track_batch(seqs)
+        dt = (time.perf_counter() - t0) / 3
+        rows.append(("M2-Track eval, batched scan (8 tracklets/dispatch)",
+                     f"{frames / dt:.0f} frames/s"))
+
+        # bf16 batched scan
+        m2_16 = get_model("m2track")(m2_cfg16)
+        scan16 = M2ScanTracker(m2_16, m2_vars, m2_cfg16, max_points=1024,
+                               frame_bucket=64)
         scan16.track_batch(seqs)
-    dt = (time.perf_counter() - t0) / 3
-    rows.append(("M2-Track eval, batched scan, bf16 compute",
-                 f"{frames / dt:.0f} frames/s"))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            scan16.track_batch(seqs)
+        dt = (time.perf_counter() - t0) / 3
+        rows.append(("M2-Track eval, batched scan, bf16 compute",
+                     f"{frames / dt:.0f} frames/s"))
 
     # ---------------- BAT eval ----------------
     bat_cfg = make_config(
@@ -156,26 +171,42 @@ def main():
     bat_sampler = get_dataset(bat_cfg, "test", "test")
     bat_seqs = [bat_sampler[i] for i in range(len(bat_sampler))]
     bat_frames = sum(len(s) for s in bat_seqs)
-    bat_scan = MatchScanTracker(bat, bat_vars, bat_cfg, max_points=1024,
-                                frame_bucket=32)
-    bat_scan.track_batch(bat_seqs)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        bat_scan.track_batch(bat_seqs)
-    rows.append(("BAT eval, batched scan (4 tracklets/dispatch)",
-                 f"{bat_frames / ((time.perf_counter() - t0) / 3):.0f} frames/s"))
+    import copy as _copy2
+
+    def bat_scan_row(label, cfg_over):
+        cfg_v = _copy2.deepcopy(bat_cfg)
+        for k, v in cfg_over.items():
+            setattr(cfg_v, k, v)
+        model_v = get_model("bat")(cfg_v)
+        tr = MatchScanTracker(model_v, bat_vars, cfg_v, max_points=1024,
+                              frame_bucket=32)
+        tr.track_batch(bat_seqs)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            tr.track_batch(bat_seqs)
+        rows.append((label,
+                     f"{bat_frames / ((time.perf_counter() - t0) / 3):.0f} frames/s"))
+
+    if _want("bateval"):
+        bat_scan_row("BAT eval, batched scan (4 tracklets/dispatch), unfused SA",
+                     {"fused_sa": False})
+        bat_scan_row("BAT eval, batched scan, fused SA kernel (ops/sa_fused.py)",
+                     {"fused_sa": True})
+        bat_scan_row("BAT eval, batched scan, fused SA + bf16",
+                     {"fused_sa": True, "bf16": True})
 
     # ---------------- kernels (chained in-graph timing) ----------------
-    from open3dsot_tpu.ops import ball_query
-    from open3dsot_tpu.ops.sampling import furthest_point_sample
+    if _want("kernels"):
+        from open3dsot_tpu.ops import ball_query
+        from open3dsot_tpu.ops.sampling import furthest_point_sample
 
-    rng = np.random.default_rng(0)
-    xyz = jnp.asarray(rng.uniform(-2, 2, size=(64, 1024, 3)), jnp.float32)
-    t = chain_timed(lambda x: furthest_point_sample(x, 512), (xyz,))
-    rows.append(("FPS (B=64, N=1024, npoint=512)", f"{t * 1e3:.2f} ms"))
-    ctr = xyz[:, :512]
-    t = chain_timed(lambda x, c: ball_query(0.3, 32, x, c), (xyz, ctr))
-    rows.append(("ball_query (B=64, 1024x512, k=32)", f"{t * 1e3:.2f} ms"))
+        rng = np.random.default_rng(0)
+        xyz = jnp.asarray(rng.uniform(-2, 2, size=(64, 1024, 3)), jnp.float32)
+        t = chain_timed(lambda x: furthest_point_sample(x, 512), (xyz,))
+        rows.append(("FPS (B=64, N=1024, npoint=512)", f"{t * 1e3:.2f} ms"))
+        ctr = xyz[:, :512]
+        t = chain_timed(lambda x, c: ball_query(0.3, 32, x, c), (xyz, ctr))
+        rows.append(("ball_query (B=64, 1024x512, k=32)", f"{t * 1e3:.2f} ms"))
 
     # ---------------- train steps (with FLOPs / implied TFLOP/s) -----------
     def train_row(name, model, cfg):
@@ -198,17 +229,71 @@ def main():
             tflops = ""
         rows.append((name, f"{t * 1e3:.1f} ms ({cfg.batch_size / t:.0f} samples/s{tflops})"))
 
-    train_row(f"M2-Track train step (batch {m2_cfg.batch_size} x 2048 pts)", m2, m2_cfg)
+    def train_row_device_sampler(name, model, cfg, train_type):
+        """Train step including the on-device sample build
+        (data/device_sampler.py) on a real raw batch."""
+        from open3dsot_tpu.data import device_sampler as dsam
+        from open3dsot_tpu.data.loader import collate
+        from open3dsot_tpu.geometry import rigid as _rigid
+
+        A = _rigid.up_frame(cfg.up_axis)
+        host_sampler = get_dataset(cfg, train_type, "train")
+        if train_type == "train_motion":
+            raw_s = dsam.RawMotionSampler(host_sampler.dataset, cfg)
+            builder = dsam.make_motion_builder(cfg, A=A)
+        else:
+            raw_s = dsam.RawSiameseSampler(host_sampler.dataset, cfg)
+            builder = dsam.make_siamese_builder(cfg, A=A)
+        batch = collate([raw_s[i % len(raw_s)] for i in range(cfg.batch_size)])
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        optimizer = make_optimizer(cfg, 100)
+        state = create_train_state(model, jax.random.PRNGKey(0), optimizer)
+        step = make_train_step(model, optimizer, mesh=None, donate=False,
+                               device_builder=builder)
+        t = chain_timed(step, (state, batch), iters=50)
+        rows.append((name, f"{t * 1e3:.1f} ms ({cfg.batch_size / t:.0f} samples/s)"))
+
     m2t16 = get_model("m2track")(m2_cfg16)
     m2_cfg16.batch_size = m2_cfg.batch_size
-    train_row(f"M2-Track train step bf16 (batch {m2_cfg.batch_size})", m2t16, m2_cfg16)
-    train_row(f"BAT train step (batch {bat_cfg.batch_size}, 512/1024 pts)", bat, bat_cfg)
     bat_cfg16 = _copy.deepcopy(bat_cfg)
     bat_cfg16.bf16 = True
-    train_row(f"BAT train step bf16 (batch {bat_cfg.batch_size})",
-              get_model("bat")(bat_cfg16), bat_cfg16)
+    if _want("train"):
+        train_row(f"M2-Track train step (batch {m2_cfg.batch_size} x 2048 pts)", m2, m2_cfg)
+        train_row(f"M2-Track train step bf16 (batch {m2_cfg.batch_size})", m2t16, m2_cfg16)
+        train_row(f"BAT train step (batch {bat_cfg.batch_size}, 512/1024 pts)", bat, bat_cfg)
+        train_row(f"BAT train step bf16 (batch {bat_cfg.batch_size})",
+                  get_model("bat")(bat_cfg16), bat_cfg16)
+    if _want("dstrain"):
+        # steps INCLUDING the on-device sample build (host pipeline cost -> 0)
+        m2_ds_cfg = _copy.deepcopy(m2_cfg16)
+        m2_ds_cfg.use_augmentation = True
+        m2_ds_cfg.num_candidates = 4
+        train_row_device_sampler(
+            f"M2-Track bf16 train step incl. on-device sample build (batch {m2_ds_cfg.batch_size})",
+            get_model("m2track")(m2_ds_cfg), m2_ds_cfg, "train_motion")
+        bat_ds_cfg = _copy.deepcopy(bat_cfg16)
+        bat_ds_cfg.use_augmentation = True
+        bat_ds_cfg.num_candidates = 4
+        train_row_device_sampler(
+            f"BAT bf16 train step incl. on-device sample build (batch {bat_ds_cfg.batch_size})",
+            get_model("bat")(bat_ds_cfg), bat_ds_cfg, "train_siamese")
 
-    # ---------------- report ----------------
+    # ---------------- report (merge partial-section runs) ----------------
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                        "BENCH_DETAILS.md")
+    merged: dict = {}
+    order: list = []
+    if only and os.path.exists(path):
+        for line in open(path):
+            m = line.strip()
+            if m.startswith("|") and not m.startswith("|---") and "Benchmark" not in m:
+                name, result = [c.strip() for c in m.strip("|").split("|", 1)]
+                merged[name] = result
+                order.append(name)
+    for name, result in rows:
+        if name not in merged:
+            order.append(name)
+        merged[name] = result
     lines = [
         "# BENCH_DETAILS — per-chip performance",
         "",
@@ -220,13 +305,12 @@ def main():
         "| Benchmark | Result |",
         "|---|---|",
     ]
-    for name, result in rows:
-        lines.append(f"| {name} | {result} |")
+    for name in order:
+        lines.append(f"| {name} | {merged[name]} |")
     lines.append("")
     report = "\n".join(lines)
     print(report)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                           "BENCH_DETAILS.md"), "w") as f:
+    with open(path, "w") as f:
         f.write(report)
 
 

@@ -19,7 +19,7 @@ import numpy as np
 
 from open3dsot_tpu.models.layers import MLP
 from open3dsot_tpu.models.losses import smooth_l1
-from open3dsot_tpu.models.matching_base import _compute_dtype  # noqa: E501
+from open3dsot_tpu.models.matching_base import _compute_dtype, _fused_sa  # noqa: E501
 from open3dsot_tpu.models.matching_base import (
     MatchingEvalMixin,
     matching_loss,
@@ -43,6 +43,7 @@ class BATNet(nn.Module):
     use_search_feature: bool = False
     use_fps: bool = True
     normalize_xyz: bool = False
+    fused_eval: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -51,7 +52,7 @@ class BATNet(nn.Module):
         M, N = template.shape[1], search.shape[1]
         backbone = PointnetBackbone(
             use_fps=self.use_fps, normalize_xyz=self.normalize_xyz,
-            dtype=self.dtype, name="backbone"
+            fused_eval=self.fused_eval, dtype=self.dtype, name="backbone"
         )
         conv_final = nn.Dense(self.feature_channel, dtype=self.dtype, name="conv_final")
 
@@ -96,6 +97,7 @@ class BATNet(nn.Module):
             vote_channel=self.vote_channel,
             num_proposal=self.num_proposal,
             normalize_xyz=self.normalize_xyz,
+            fused_eval=self.fused_eval,
             dtype=self.dtype,
             name="rpn",
         )(search_xyz, fusion_feature, train=train)
@@ -127,6 +129,7 @@ class BATModel(MatchingEvalMixin):
             use_search_feature=getattr(config, "use_search_feature", False),
             use_fps=getattr(config, "use_fps", True),
             normalize_xyz=getattr(config, "normalize_xyz", False),
+            fused_eval=_fused_sa(config),
             dtype=_compute_dtype(config),
         )
 

@@ -20,6 +20,17 @@ def _compute_dtype(config):
     return jnp.bfloat16 if getattr(config, "bf16", False) else None
 
 
+def _fused_sa(config) -> bool:
+    """Resolve config.fused_sa: 'auto' -> fused SA eval kernel on TPU only
+    (on CPU the Pallas kernel would run interpreted, far slower than XLA)."""
+    v = getattr(config, "fused_sa", "auto")
+    if v in ("auto", None):
+        import jax
+
+        return jax.default_backend() == "tpu"
+    return bool(v)
+
+
 def matching_loss(config, batch: dict, output: dict) -> dict:
     """Reference base_model.py:122-164. Expects seg_label already gathered
     through the backbone sample idxs (done in the model's train apply)."""

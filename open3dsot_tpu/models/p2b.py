@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from open3dsot_tpu.models.matching_base import _compute_dtype  # noqa: E501
+from open3dsot_tpu.models.matching_base import _compute_dtype, _fused_sa  # noqa: E501
 from open3dsot_tpu.models.matching_base import (
     MatchingEvalMixin,
     matching_loss,
@@ -34,6 +34,7 @@ class P2BNet(nn.Module):
     num_proposal: int = 64
     use_fps: bool = False
     normalize_xyz: bool = False
+    fused_eval: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -42,7 +43,7 @@ class P2BNet(nn.Module):
         M, N = template.shape[1], search.shape[1]
         backbone = PointnetBackbone(
             use_fps=self.use_fps, normalize_xyz=self.normalize_xyz,
-            dtype=self.dtype, name="backbone"
+            fused_eval=self.fused_eval, dtype=self.dtype, name="backbone"
         )
         conv_final = nn.Dense(self.feature_channel, dtype=self.dtype, name="conv_final")
 
@@ -67,6 +68,7 @@ class P2BNet(nn.Module):
             vote_channel=self.vote_channel,
             num_proposal=self.num_proposal,
             normalize_xyz=self.normalize_xyz,
+            fused_eval=self.fused_eval,
             dtype=self.dtype,
             name="rpn",
         )(search_xyz, fusion_feature, train=train)
@@ -93,6 +95,7 @@ class P2BModel(MatchingEvalMixin):
             num_proposal=config.num_proposal,
             use_fps=getattr(config, "use_fps", False),
             normalize_xyz=getattr(config, "normalize_xyz", False),
+            fused_eval=_fused_sa(config),
             dtype=_compute_dtype(config),
         )
 

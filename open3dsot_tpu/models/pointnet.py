@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from open3dsot_tpu.models.layers import MLP
 from open3dsot_tpu.ops import ball_query, furthest_point_sample, gather_points, group_points
 from open3dsot_tpu.ops.interpolate import three_interpolate, three_nn
+from open3dsot_tpu.ops.sa_fused import fused_sa_apply
 
 
 class MiniPointNet(nn.Module):
@@ -87,6 +88,7 @@ class SetAbstraction(nn.Module):
     use_xyz: bool = True
     use_fps: bool = False
     normalize_xyz: bool = False
+    fused_eval: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -109,6 +111,28 @@ class SetAbstraction(nn.Module):
         new_xyz = gather_points(xyz, sample_idxs)  # (B, S, 3)
 
         idx = ball_query(self.radius, self.nsample, xyz, new_xyz)  # (B, S, K)
+
+        if (
+            self.fused_eval
+            and not train
+            and not self.is_initializing()
+            and len(self.mlp) == 3
+        ):
+            # Single fused Pallas kernel: one-hot gather + folded-BN MLP +
+            # neighborhood max, all in VMEM (ops/sa_fused.py). Inference
+            # only — training needs grid batch statistics.
+            variables = self.variables
+            out = fused_sa_apply(
+                xyz, features, new_xyz, idx,
+                variables["params"]["mlp_shared"],
+                variables["batch_stats"]["mlp_shared"],
+                radius=self.radius,
+                normalize_xyz=self.normalize_xyz,
+                use_xyz=self.use_xyz,
+                dtype=self.dtype,
+            )
+            return new_xyz, out, sample_idxs
+
         grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]  # (B, S, K, 3)
         if self.normalize_xyz:
             grouped_xyz = grouped_xyz / self.radius
@@ -164,6 +188,7 @@ class PointnetBackbone(nn.Module):
     normalize_xyz: bool = False
     return_intermediate: bool = False
     input_channels: int = 0
+    fused_eval: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -186,6 +211,7 @@ class PointnetBackbone(nn.Module):
                 use_xyz=True,
                 use_fps=spec["use_fps"],
                 normalize_xyz=self.normalize_xyz,
+                fused_eval=self.fused_eval,
                 dtype=self.dtype,
                 name=f"sa{i}",
             )(l_xyz[i], l_features[i], numpoints[i], train=train)

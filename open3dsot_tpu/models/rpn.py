@@ -23,6 +23,7 @@ class P2BVoteNetRPN(nn.Module):
     vote_channel: int = 256
     num_proposal: int = 64
     normalize_xyz: bool = False
+    fused_eval: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -53,6 +54,7 @@ class P2BVoteNetRPN(nn.Module):
             use_xyz=True,
             use_fps=False,
             normalize_xyz=self.normalize_xyz,
+            fused_eval=self.fused_eval,
             dtype=self.dtype,
             name="vote_aggregation",
         )(vote_xyz, vote_feature, self.num_proposal, train=train)

@@ -1,0 +1,195 @@
+"""Fused set-abstraction (eval) as a single Pallas TPU kernel.
+
+The unfused SA layer (models/pointnet.py::SetAbstraction, mirroring the
+reference's PointnetSAModule, /root/reference/pointnet2/utils/
+pointnet2_modules.py:24-149) materializes the grouped neighborhood grid
+(B, S, K, 3+C) in HBM and round-trips it through every Dense+BN+ReLU of the
+shared MLP — at BAT/P2B shapes that is ~400 MB of HBM traffic per tower and
+XLA's row-gather runs ~10x off bandwidth (measured 1.8 ms for the layer-1
+group alone on v5e). This module fuses the whole layer for inference:
+
+  * BatchNorm (eval mode) is folded into each Dense: W' = W * g/sqrt(v+eps),
+    b' = (b - m) * g/sqrt(v+eps) + beta.
+  * The first MLP layer is algebraically moved BEFORE the gather
+    ("A-form"): Dense1(concat((x_j - c_s)/r, f_j)) = A[j] + ct[s] with
+    A = (x/r) @ W1_xyz + f @ W1_feat over ALL N points (one dense MXU
+    matmul, no grid) and ct_s = b1 - (c_s/r) @ W1_xyz. Only the C1-wide A
+    rows are gathered, once, instead of the (3+C)-wide raw points at every
+    layer.
+  * The gather itself runs inside the kernel as a one-hot matmul — Mosaic
+    has no native dynamic row-gather, and the one-hot contraction rides the
+    MXU. Dots use default MXU precision with f32 accumulation: the same
+    policy as the unfused flax Dense stack on TPU (HIGHEST/bf16_6x would
+    make the gather ~6x more expensive for precision the baseline doesn't
+    have — measured 2.4 ms vs 1.1 ms BAT forward). In CPU interpret mode
+    f32 dots are exact, which is where the golden tests compare.
+  * MLP layers 2-3, the bias adds, ReLUs, and the max over the K
+    neighborhood all stay in VMEM; per layer only A (N, C1) is read and
+    (S, C3) written to HBM.
+
+Ball-query indices and FPS centroids are computed outside (ops/neighbors.py,
+ops/sampling.py) — they are cheap relative to the grid, and keeping them
+shared with the unfused path pins the exact CUDA pad-with-first semantics in
+one place.
+
+Inference-only: training needs batch statistics over the (B, S, K) grid,
+which defeats the fusion; SetAbstraction falls back to the unfused path when
+train=True (and under autodiff this op is never used).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HI = jax.lax.Precision.HIGHEST
+_BN_EPS = 1e-5  # models/layers.py::DenseBNRelu epsilon (torch parity)
+
+
+def fold_dense_bn(layer_params, layer_stats) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold eval-mode BatchNorm into the preceding Dense.
+
+    layer_params: {'dense': {'kernel', 'bias'}, 'bn': {'scale', 'bias'}}
+    layer_stats:  {'bn': {'mean', 'var'}}
+    Returns (W', b') in float32 such that relu(x @ W' + b') ==
+    relu(BN_eval(x @ W + b)).
+    """
+    kernel = layer_params["dense"]["kernel"].astype(jnp.float32)
+    bias = layer_params["dense"]["bias"].astype(jnp.float32)
+    scale = layer_params["bn"]["scale"].astype(jnp.float32)
+    beta = layer_params["bn"]["bias"].astype(jnp.float32)
+    mean = layer_stats["bn"]["mean"].astype(jnp.float32)
+    var = layer_stats["bn"]["var"].astype(jnp.float32)
+    g = scale * jax.lax.rsqrt(var + _BN_EPS)
+    return kernel * g[None, :], (bias - mean) * g + beta
+
+
+def _dot(a, b, cdt):
+    # Default MXU precision with f32 accumulation: on TPU this matches the
+    # unfused flax path (Dense also runs the MXU at default/bf16 precision
+    # for f32 inputs), and in CPU interpret mode f32 dots are exact — the
+    # golden tests compare there. HIGHEST (bf16_6x) would make the one-hot
+    # gather ~6x more expensive for precision the baseline doesn't have.
+    del cdt
+    return jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _sa_kernel(K, cdt, idx_ref, a_ref, ct_ref, w2_ref, b2_ref, w3_ref,
+               b3_ref, out_ref):
+    """One (batch, centroid-tile) program.
+
+    idx_ref (1, 1, Ts, K) i32 | a_ref (1, N, C1) | ct_ref (1, Ts, C1)
+    w2 (C1, C2), b2 (1, C2), w3 (C2, C3), b3 (1, C3) | out_ref (1, Ts, C3).
+    """
+    ts = idx_ref.shape[2]
+    tsk = ts * K
+    n, c1 = a_ref.shape[1], a_ref.shape[2]
+    # one-hot built in (ts, K, n) then collapsed to (ts*K, n): lane dim (n)
+    # stays put, so the shape cast is a pure sublane relayout Mosaic accepts
+    # (a (ts*K, 1) index vector is not — "unsupported shape cast")
+    idx3 = idx_ref[0, 0]  # (ts, K)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (ts, K, n), 2) == idx3[:, :, None]
+    ).reshape(tsk, n)
+    g = _dot(onehot.astype(cdt), a_ref[0].astype(cdt), cdt)  # (Ts*K, C1) f32
+    h = g.reshape(ts, K, c1) + ct_ref[0][:, None, :]
+    h = jnp.maximum(h, 0.0).reshape(tsk, c1).astype(cdt)
+    h = jnp.maximum(_dot(h, w2_ref[:].astype(cdt), cdt) + b2_ref[:], 0.0)
+    h = jnp.maximum(_dot(h.astype(cdt), w3_ref[:].astype(cdt), cdt)
+                    + b3_ref[:], 0.0)  # (Ts*K, C3) f32
+    out_ref[0] = jnp.max(h.reshape(ts, K, -1), axis=1).astype(out_ref.dtype)
+
+
+def fused_sa_apply(
+    xyz: jnp.ndarray,
+    features: Optional[jnp.ndarray],
+    new_xyz: jnp.ndarray,
+    idx: jnp.ndarray,
+    mlp_params,
+    mlp_stats,
+    *,
+    radius: float,
+    normalize_xyz: bool,
+    use_xyz: bool,
+    dtype: Any = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused eval-mode SA: xyz (B,N,3), features (B,N,C) or None,
+    new_xyz (B,S,3) centers, idx (B,S,K) ball-query indices ->
+    (B, S, C3) max-pooled MLP features (same numbers as the unfused path
+    up to dtype-level reassociation).
+
+    mlp_params/mlp_stats: the 'mlp_shared' subtrees of a SetAbstraction
+    (3 DenseBNRelu layers).
+    """
+    cdt = jnp.dtype(dtype) if dtype is not None else jnp.float32
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, N, _ = xyz.shape
+    S, K = idx.shape[1], idx.shape[2]
+    folded = [fold_dense_bn(mlp_params[f"layer{i}"], mlp_stats[f"layer{i}"])
+              for i in range(3)]
+    (w1, b1), (w2, b2), (w3, b3) = folded
+    c1, c3 = w1.shape[1], w3.shape[1]
+
+    prec = None  # default MXU precision, like the unfused flax Dense
+    inv_r = (1.0 / radius) if normalize_xyz else 1.0
+    xyz32 = xyz.astype(jnp.float32)
+    parts = []
+    ct = jnp.broadcast_to(b1[None, None, :], (B, S, c1))
+    if use_xyz or features is None:
+        w1x = w1[:3]
+        parts.append(jnp.einsum("bnd,dc->bnc", xyz32 * inv_r, w1x,
+                                precision=prec))
+        ct = ct - jnp.einsum("bsd,dc->bsc", new_xyz.astype(jnp.float32) * inv_r,
+                             w1x, precision=prec)
+        w1f = w1[3:]
+    else:
+        w1f = w1
+    if features is not None:
+        parts.append(jnp.einsum("bnc,cd->bnd", features.astype(jnp.float32),
+                                w1f, precision=prec))
+    a = sum(parts)  # (B, N, C1) float32; cast in-kernel
+
+    ts = min(S, 64 if cdt != jnp.float32 else 32)
+    s_pad = -(-S // ts) * ts
+    if s_pad != S:
+        idx = jnp.pad(idx, ((0, 0), (0, s_pad - S), (0, 0)))
+        ct = jnp.pad(ct, ((0, 0), (0, s_pad - S), (0, 0)))
+    # (B, tiles, ts, K): Mosaic checks the LAST TWO dims of each block
+    # against divisibility-or-full-dim; (ts, K) blocks match the array dims
+    n_tiles = s_pad // ts
+    idx_flat = idx.reshape(B, n_tiles, ts, K).astype(jnp.int32)
+
+    out = pl.pallas_call(
+        lambda *refs: _sa_kernel(K, cdt, *refs),
+        out_shape=jax.ShapeDtypeStruct((B, s_pad, c3), cdt),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, ts, K), lambda b, s: (b, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, c1), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts, c1), lambda b, s: (b, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2.shape, lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w2.shape[1]), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w3.shape, lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c3), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ts, c3), lambda b, s: (b, s, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(idx_flat, a, ct, w2, b2[None, :], w3, b3[None, :])
+    return jax.lax.stop_gradient(out[:, :S])
