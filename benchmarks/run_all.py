@@ -187,11 +187,13 @@ def main():
         rows.append((label,
                      f"{bat_frames / ((time.perf_counter() - t0) / 3):.0f} frames/s"))
 
-    if _want("bateval"):
+    if _want("bateval") or _want("bateval_unfused"):
         bat_scan_row("BAT eval, batched scan (4 tracklets/dispatch), unfused SA",
                      {"fused_sa": False})
+    if _want("bateval") or _want("bateval_fused"):
         bat_scan_row("BAT eval, batched scan, fused SA kernel (ops/sa_fused.py)",
                      {"fused_sa": True})
+    if _want("bateval") or _want("bateval_bf16"):
         bat_scan_row("BAT eval, batched scan, fused SA + bf16",
                      {"fused_sa": True, "bf16": True})
 
@@ -257,20 +259,22 @@ def main():
     m2_cfg16.batch_size = m2_cfg.batch_size
     bat_cfg16 = _copy.deepcopy(bat_cfg)
     bat_cfg16.bf16 = True
-    if _want("train"):
+    if _want("train") or _want("train_m2"):
         train_row(f"M2-Track train step (batch {m2_cfg.batch_size} x 2048 pts)", m2, m2_cfg)
         train_row(f"M2-Track train step bf16 (batch {m2_cfg.batch_size})", m2t16, m2_cfg16)
+    if _want("train") or _want("train_bat"):
         train_row(f"BAT train step (batch {bat_cfg.batch_size}, 512/1024 pts)", bat, bat_cfg)
         train_row(f"BAT train step bf16 (batch {bat_cfg.batch_size})",
                   get_model("bat")(bat_cfg16), bat_cfg16)
-    if _want("dstrain"):
-        # steps INCLUDING the on-device sample build (host pipeline cost -> 0)
+    # steps INCLUDING the on-device sample build (host pipeline cost -> 0)
+    if _want("dstrain") or _want("dstrain_m2"):
         m2_ds_cfg = _copy.deepcopy(m2_cfg16)
         m2_ds_cfg.use_augmentation = True
         m2_ds_cfg.num_candidates = 4
         train_row_device_sampler(
             f"M2-Track bf16 train step incl. on-device sample build (batch {m2_ds_cfg.batch_size})",
             get_model("m2track")(m2_ds_cfg), m2_ds_cfg, "train_motion")
+    if _want("dstrain") or _want("dstrain_bat"):
         bat_ds_cfg = _copy.deepcopy(bat_cfg16)
         bat_ds_cfg.use_augmentation = True
         bat_ds_cfg.num_candidates = 4

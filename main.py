@@ -37,6 +37,12 @@ def parse_args():
     parser.add_argument("--check_val_every_n_epoch", type=int, default=None)
     parser.add_argument("--bf16", action="store_true", default=None,
                         help="bf16 compute (params/BN stats stay f32)")
+    parser.add_argument("--device_sampler", action="store_true", default=None,
+                        help="build training samples inside the jitted step "
+                             "(data/device_sampler.py)")
+    parser.add_argument("--fused_sa", type=str, default=None,
+                        choices=["auto", "true", "false"],
+                        help="fused SA eval kernel (ops/sa_fused.py)")
     parser.add_argument("--max_tracklets", type=int, default=None,
                         help="cap eval tracklets (debug)")
     parser.add_argument("--num_devices", type=int, default=None,
@@ -62,6 +68,9 @@ def main():
     # defaults (reference main.py:47 does config.update(vars(args)))
     overrides["preloading"] = args.preloading
     overrides["save_top_k"] = args.save_top_k
+    if args.fused_sa is not None:
+        overrides["fused_sa"] = {"true": True, "false": False,
+                                 "auto": "auto"}[args.fused_sa]
     cfg = load_config(args.cfg, overrides)
 
     if os.environ.get("JAX_COORDINATOR"):
