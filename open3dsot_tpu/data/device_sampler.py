@@ -244,9 +244,13 @@ def make_motion_builder(config, A=None):
             "seg_label": seg_label.astype(jnp.int32),
         }
         if box_aware:
-            prev_bc = rigid.box_cloud(prev_sel, prev_local_box, wlh, A=A)
-            this_bc = rigid.box_cloud(this_sel, this_local_box, wlh, A=A)
-            cand_bc_prev = rigid.box_cloud(prev_sel, canonical, wlh, A=A)
+            # prev_sel/this_sel and the *_local_box params all live in the
+            # ref-box LOCAL frame, which is z-up canonical by construction —
+            # the A basis maps local->world and must NOT be applied here
+            # (scan_tracker.py computes its BoxClouds the same way)
+            prev_bc = rigid.box_cloud(prev_sel, prev_local_box, wlh)
+            this_bc = rigid.box_cloud(this_sel, this_local_box, wlh)
+            cand_bc_prev = rigid.box_cloud(prev_sel, canonical, wlh)
             batch.update(
                 prev_bc=prev_bc,
                 this_bc=this_bc,
@@ -465,8 +469,9 @@ def make_siamese_builder(config, A=None):
         srch_local_box = rigid.transform_box_params(srch_box, sample_bb, A=A)
         box_label = jnp.concatenate(
             [srch_local_box[:, :3], -drawn_theta_units[:, None]], axis=-1)
+        # local-frame quantities: no A basis (see motion builder note)
         seg_label = rigid.points_in_box(
-            search_points, srch_local_box, wlh, 1.0, A=A, strict=True
+            search_points, srch_local_box, wlh, 1.0, strict=True
         ).astype(jnp.float32)
 
         batch = {
@@ -479,9 +484,9 @@ def make_siamese_builder(config, A=None):
         if box_aware:
             canonical = jnp.zeros((B, 4), template_points.dtype)
             batch["points2cc_dist_t"] = rigid.box_cloud(
-                template_points, canonical, wlh, A=A)
+                template_points, canonical, wlh)
             batch["points2cc_dist_s"] = rigid.box_cloud(
-                search_points, srch_local_box, wlh, A=A)
+                search_points, srch_local_box, wlh)
         return batch
 
     return build

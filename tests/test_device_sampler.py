@@ -315,3 +315,53 @@ def test_trainer_fit_siamese_device_sampler(tmp_path):
     state = trainer.fit(sampler, val_sampler=None, epochs=1)
     assert int(state.step) > 0
     assert np.isfinite(trainer.history[-1]["loss"])
+
+
+def test_motion_builder_camera_mode_equivariance():
+    """Camera-mode (A = Rx(pi/2), up [0,-1,0]) device building: rotating the
+    whole world by A and passing A must yield EXACTLY the same box-local
+    outputs as the z-up build — every produced quantity is box-frame."""
+    from open3dsot_tpu.geometry import rigid
+
+    cfg = _cfg()
+    n = cfg.point_sample_size
+    rng = np.random.default_rng(9)
+    wlh = np.array([1.6, 3.8, 1.5], np.float32)
+    A = np.asarray(rigid.up_frame([0, -1, 0]))
+
+    half = np.array([wlh[1], wlh[0], wlh[2]]) * cfg.bb_scale / 2 + cfg.bb_offset
+    local = (rng.random((n, 3)) * 2 - 1) * (half * 0.9)
+    prev_c, prev_t = np.array([4.0, 2.0, 0.3]), 0.45
+    this_c, this_t = np.array([4.3, 2.2, 0.35]), 0.55
+    Rz = np.array([[np.cos(prev_t), -np.sin(prev_t), 0],
+                   [np.sin(prev_t), np.cos(prev_t), 0], [0, 0, 1]])
+    w_prev = local @ Rz.T + prev_c
+    w_this = (local * 0.85) @ Rz.T + prev_c
+
+    def raw_for(world_pts_prev, world_pts_this, pc, tc, Abasis):
+        return {
+            "prev_pts": jnp.asarray(world_pts_prev, jnp.float32)[None],
+            "prev_valid": jnp.ones((1, n), bool),
+            "this_pts": jnp.asarray(world_pts_this, jnp.float32)[None],
+            "this_valid": jnp.ones((1, n), bool),
+            "prev_box": jnp.asarray(np.append(pc, prev_t), jnp.float32)[None],
+            "this_box": jnp.asarray(np.append(tc, this_t), jnp.float32)[None],
+            "wlh": jnp.asarray(wlh)[None],
+            "candidate_zero": jnp.asarray([True]),
+        }
+
+    from open3dsot_tpu.data.device_sampler import make_motion_builder
+
+    out_z = jax.jit(make_motion_builder(cfg))(
+        raw_for(w_prev, w_this, prev_c, this_c, None), jax.random.PRNGKey(0))
+    out_cam = jax.jit(make_motion_builder(cfg, A=jnp.asarray(A, jnp.float32)))(
+        raw_for(w_prev @ A.T, w_this @ A.T, A @ prev_c, A @ this_c, A),
+        jax.random.PRNGKey(0))
+
+    for k in ("points", "seg_label", "box_label", "box_label_prev",
+              "motion_label", "candidate_bc"):
+        np.testing.assert_allclose(
+            np.asarray(out_cam[k], np.float32),
+            np.asarray(out_z[k], np.float32), atol=3e-5,
+            err_msg=k,
+        )
