@@ -110,29 +110,30 @@ class SetAbstraction(nn.Module):
             )
         new_xyz = gather_points(xyz, sample_idxs)  # (B, S, 3)
 
-        idx = ball_query(self.radius, self.nsample, xyz, new_xyz)  # (B, S, K)
-
         if (
             self.fused_eval
             and not train
             and not self.is_initializing()
             and len(self.mlp) == 3
         ):
-            # Single fused Pallas kernel: one-hot gather + folded-BN MLP +
-            # neighborhood max, all in VMEM (ops/sa_fused.py). Inference
-            # only — training needs grid batch statistics.
+            # Single fused Pallas kernel: ball query + one-hot gather +
+            # folded-BN MLP + neighborhood max, all in VMEM
+            # (ops/sa_fused.py). Inference only — training needs grid batch
+            # statistics.
             variables = self.variables
             out = fused_sa_apply(
-                xyz, features, new_xyz, idx,
+                xyz, features, new_xyz, None,
                 variables["params"]["mlp_shared"],
                 variables["batch_stats"]["mlp_shared"],
                 radius=self.radius,
                 normalize_xyz=self.normalize_xyz,
                 use_xyz=self.use_xyz,
+                nsample=self.nsample,
                 dtype=self.dtype,
             )
             return new_xyz, out, sample_idxs
 
+        idx = ball_query(self.radius, self.nsample, xyz, new_xyz)  # (B, S, K)
         grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]  # (B, S, K, 3)
         if self.normalize_xyz:
             grouped_xyz = grouped_xyz / self.radius

@@ -107,24 +107,74 @@ def _sa_kernel(K, cdt, idx_ref, a_ref, ct_ref, w2_ref, b2_ref, w3_ref,
     out_ref[0] = jnp.max(h.reshape(ts, K, -1), axis=1).astype(out_ref.dtype)
 
 
+def _sa_bq_kernel(K, cdt, r2, xyzt_ref, ctr_ref, a_ref, ct_ref, w2_ref,
+                  b2_ref, w3_ref, b3_ref, out_ref):
+    """SA kernel with the ball query fused in: the one-hot selection matrix
+    is built directly from the in-kernel distance matrix via the
+    cumulative-count order statistic (no ApproxTopK pass, no idx tensor).
+
+    xyzt_ref (1, 3, N) | ctr_ref (1, Ts, 3) | a_ref (1, N, C1) |
+    ct_ref (1, Ts, C1) | weights/biases as in _sa_kernel.
+
+    CUDA ball-query parity (pointnet2_utils.py:245-277): the k-th slot takes
+    the (k+1)-th point with d^2 strictly < r^2 in ascending index order;
+    slots past the in-ball count repeat the FIRST in-ball index. Every
+    center is itself one of the points (d^2 = 0), so the no-neighbor case
+    is unreachable in all call sites.
+    """
+    ts = ctr_ref.shape[1]
+    tsk = ts * K
+    n, c1 = a_ref.shape[1], a_ref.shape[2]
+    ctr = ctr_ref[0]  # (Ts, 3)
+    d2 = jnp.zeros((ts, n), jnp.float32)
+    for c in range(3):
+        diff = ctr[:, c:c + 1] - xyzt_ref[0, c:c + 1, :]  # (Ts, N)
+        d2 = d2 + diff * diff
+    valid = d2 < r2  # strict, like the CUDA kernel
+    # cum[s, j] = #{m <= j : valid[s, m]} via an upper-triangular matmul —
+    # exact in any dtype (0/1 inputs, f32 accumulation)
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    )
+    cum = _dot(valid.astype(cdt), tri.astype(cdt), cdt)  # (Ts, N) f32
+    count = cum[:, n - 1:n]  # (Ts, 1)
+    kp1 = (jax.lax.broadcasted_iota(jnp.int32, (ts, K, n), 1) + 1).astype(
+        jnp.float32)
+    sel = (cum[:, None, :] == kp1) | (
+        (kp1 > count[:, :, None]) & (cum[:, None, :] == 1.0))
+    onehot = (valid[:, None, :] & sel).reshape(tsk, n)
+    g = _dot(onehot.astype(cdt), a_ref[0].astype(cdt), cdt)  # (Ts*K, C1) f32
+    h = g.reshape(ts, K, c1) + ct_ref[0][:, None, :]
+    h = jnp.maximum(h, 0.0).reshape(tsk, c1).astype(cdt)
+    h = jnp.maximum(_dot(h, w2_ref[:].astype(cdt), cdt) + b2_ref[:], 0.0)
+    h = jnp.maximum(_dot(h.astype(cdt), w3_ref[:].astype(cdt), cdt)
+                    + b3_ref[:], 0.0)
+    out_ref[0] = jnp.max(h.reshape(ts, K, -1), axis=1).astype(out_ref.dtype)
+
+
 def fused_sa_apply(
     xyz: jnp.ndarray,
     features: Optional[jnp.ndarray],
     new_xyz: jnp.ndarray,
-    idx: jnp.ndarray,
+    idx: Optional[jnp.ndarray],
     mlp_params,
     mlp_stats,
     *,
     radius: float,
     normalize_xyz: bool,
     use_xyz: bool,
+    nsample: Optional[int] = None,
     dtype: Any = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fused eval-mode SA: xyz (B,N,3), features (B,N,C) or None,
-    new_xyz (B,S,3) centers, idx (B,S,K) ball-query indices ->
-    (B, S, C3) max-pooled MLP features (same numbers as the unfused path
-    up to dtype-level reassociation).
+    new_xyz (B,S,3) centers -> (B, S, C3) max-pooled MLP features (same
+    numbers as the unfused path up to dtype-level reassociation).
+
+    idx: precomputed (B,S,K) ball-query indices, or None to fuse the ball
+    query into the kernel too (pass nsample); fusing it removes the
+    ApproxTopK pass and the idx HBM round trip.
 
     mlp_params/mlp_stats: the 'mlp_shared' subtrees of a SetAbstraction
     (3 DenseBNRelu layers).
@@ -133,7 +183,11 @@ def fused_sa_apply(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, N, _ = xyz.shape
-    S, K = idx.shape[1], idx.shape[2]
+    if idx is None:
+        assert nsample is not None, "nsample required when idx is None"
+        S, K = new_xyz.shape[1], int(nsample)
+    else:
+        S, K = idx.shape[1], idx.shape[2]
     folded = [fold_dense_bn(mlp_params[f"layer{i}"], mlp_stats[f"layer{i}"])
               for i in range(3)]
     (w1, b1), (w2, b2), (w3, b3) = folded
@@ -161,35 +215,64 @@ def fused_sa_apply(
     ts = min(S, 64 if cdt != jnp.float32 else 32)
     s_pad = -(-S // ts) * ts
     if s_pad != S:
-        idx = jnp.pad(idx, ((0, 0), (0, s_pad - S), (0, 0)))
         ct = jnp.pad(ct, ((0, 0), (0, s_pad - S), (0, 0)))
+    n_tiles = s_pad // ts
+
+    common_specs = [
+        pl.BlockSpec((1, N, c1), lambda b, s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ts, c1), lambda b, s: (b, s, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(w2.shape, lambda b, s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, w2.shape[1]), lambda b, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(w3.shape, lambda b, s: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c3), lambda b, s: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    common_args = (a, ct, w2, b2[None, :], w3, b3[None, :])
+    out_spec = pl.BlockSpec((1, ts, c3), lambda b, s: (b, s, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, s_pad, c3), cdt)
+
+    if idx is None:
+        # ball query fused into the kernel: ship transposed coordinates
+        # (the 3-wide lane layout of raw xyz wastes a full 128-lane tile)
+        xyzt = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (B, 3, N)
+        ctr = new_xyz.astype(jnp.float32)
+        if s_pad != S:
+            # pad centers far away: padded rows select nothing, and their
+            # outputs are sliced off below
+            ctr = jnp.pad(ctr, ((0, 0), (0, s_pad - S), (0, 0)),
+                          constant_values=1e9)
+        out = pl.pallas_call(
+            lambda *refs: _sa_bq_kernel(K, cdt, radius * radius, *refs),
+            out_shape=out_shape,
+            grid=(B, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, 3, N), lambda b, s: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ts, 3), lambda b, s: (b, s, 0),
+                             memory_space=pltpu.VMEM),
+            ] + common_specs,
+            out_specs=out_spec,
+            interpret=interpret,
+        )(xyzt, ctr, *common_args)
+        return jax.lax.stop_gradient(out[:, :S])
+
+    if s_pad != S:
+        idx = jnp.pad(idx, ((0, 0), (0, s_pad - S), (0, 0)))
     # (B, tiles, ts, K): Mosaic checks the LAST TWO dims of each block
     # against divisibility-or-full-dim; (ts, K) blocks match the array dims
-    n_tiles = s_pad // ts
     idx_flat = idx.reshape(B, n_tiles, ts, K).astype(jnp.int32)
-
     out = pl.pallas_call(
         lambda *refs: _sa_kernel(K, cdt, *refs),
-        out_shape=jax.ShapeDtypeStruct((B, s_pad, c3), cdt),
+        out_shape=out_shape,
         grid=(B, n_tiles),
         in_specs=[
             pl.BlockSpec((1, 1, ts, K), lambda b, s: (b, s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, c1), lambda b, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ts, c1), lambda b, s: (b, s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(w2.shape, lambda b, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w2.shape[1]), lambda b, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(w3.shape, lambda b, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c3), lambda b, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, ts, c3), lambda b, s: (b, s, 0),
-                               memory_space=pltpu.VMEM),
+        ] + common_specs,
+        out_specs=out_spec,
         interpret=interpret,
-    )(idx_flat, a, ct, w2, b2[None, :], w3, b3[None, :])
+    )(idx_flat, *common_args)
     return jax.lax.stop_gradient(out[:, :S])

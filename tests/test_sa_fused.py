@@ -109,3 +109,30 @@ def test_fused_bf16_no_worse_than_unfused_bf16():
         return np.mean(np.abs(x - truth) / np.maximum(np.abs(truth), 1.0))
 
     assert mean_rel(bf16_fused) < 1.5 * mean_rel(bf16_unfused) + 1e-4
+
+
+def test_idx_kernel_matches_bq_fused_kernel():
+    """Both kernel variants (precomputed ball-query idx vs in-kernel
+    cumulative-count ball query) produce identical selections."""
+    from open3dsot_tpu.ops import ball_query
+    from open3dsot_tpu.ops.sa_fused import fused_sa_apply
+
+    rng = np.random.default_rng(4)
+    B, N, S, K, C = 2, 64, 16, 8, 12
+    xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    new_xyz = xyz[:, :S]
+    kw = dict(mlp=[16, 16, 24], radius=0.8, nsample=K, use_fps=False)
+    sa = SetAbstraction(**kw)
+    variables = sa.init(jax.random.PRNGKey(0), xyz, feats, S, train=False)
+    variables = _randomized_bn_vars(variables, rng)
+    mlp_p = variables["params"]["mlp_shared"]
+    mlp_s = variables["batch_stats"]["mlp_shared"]
+    idx = ball_query(0.8, K, xyz, new_xyz)
+    common = dict(radius=0.8, normalize_xyz=False, use_xyz=True)
+    out_idx = fused_sa_apply(xyz, feats, new_xyz, idx, mlp_p, mlp_s, **common)
+    out_bq = fused_sa_apply(xyz, feats, new_xyz, None, mlp_p, mlp_s,
+                            nsample=K, **common)
+    np.testing.assert_allclose(
+        np.asarray(out_bq), np.asarray(out_idx), rtol=1e-5, atol=1e-5
+    )

@@ -104,10 +104,24 @@ def test_val_tracker_host_forces_host_path(tmp_path):
     assert "precision" in trainer.history[0]
 
 
-def test_val_scan_falls_back_on_limit_box(tmp_path):
-    # limit_box re-draws offsets with host RNG — no scan path; auto must
-    # fall back to the host fidelity loop
+def test_val_scan_handles_limit_box(tmp_path):
+    # limit_box used to force the host fallback; rigid.limit_box_offset
+    # (deterministic device emulation of the host RNG re-draw) unlocked the
+    # scan path for it — 'auto' must now pick scan validation
     cfg = _cfg(tmp_path, limit_box=True)
+    model = get_model("m2track")(cfg)
+    train_sampler = get_dataset(cfg, "train_motion", "train")
+    val_sampler = get_dataset(cfg, "test", "test")
+    trainer = Trainer(model, cfg, work_dir=str(tmp_path), log_every=1)
+    trainer.fit(train_sampler, val_sampler, epochs=1, steps_per_epoch=1)
+    assert trainer._val_scan is not None
+    assert "precision" in trainer.history[0]
+
+
+def test_val_scan_falls_back_on_unsupported_up_axis(tmp_path):
+    # an up_axis that is neither z-up nor the camera frame has no device box
+    # basis (rigid.up_frame raises) — 'auto' must fall back to the host loop
+    cfg = _cfg(tmp_path, up_axis=[1, 0, 0])
     model = get_model("m2track")(cfg)
     train_sampler = get_dataset(cfg, "train_motion", "train")
     val_sampler = get_dataset(cfg, "test", "test")
