@@ -49,7 +49,8 @@ class MatchScanTracker:
     """Batched on-device tracker for P2B/BAT ('firstandprevious' templates)."""
 
     def __init__(self, model, variables, config, max_points: int = 4096,
-                 first_crop_points: int = 1024, frame_bucket: int = 16):
+                 first_crop_points: int = 1024, frame_bucket: int = 16,
+                 mesh=None):
         assert "FIRSTANDPREVIOUS" in config.shape_aggregation.upper()
         assert "PREVIOUS_RESULT" in config.reference_BB.upper()
         # up-axis basis: None (z-up) or Rx(pi/2) for camera mode
@@ -132,13 +133,33 @@ class MatchScanTracker:
             )
             return jnp.swapaxes(boxes, 0, 1)  # (B, T-1, 4)
 
-        self._track = jax.jit(track_fn)
+        if mesh is None:
+            self._track = jax.jit(track_fn)
+            self._mesh_size = 1
+        else:
+            # shard the tracklet batch over the 'data' mesh axis — the frame
+            # recurrence is serial, so tracklets are the unit of parallelism
+            # (B/num_devices per chip, replicated params, no collectives in
+            # the scan body); same design as M2ScanTracker
+            from open3dsot_tpu.parallel import batch_sharding, replicated_sharding
+
+            repl, data = replicated_sharding(mesh), batch_sharding(mesh)
+            self._track = jax.jit(
+                track_fn,
+                in_shardings=(repl, data, data, data, data, data, data),
+                out_shardings=data,
+            )
+            self._mesh_size = mesh.devices.size
 
     # --- host driver ------------------------------------------------------
     def _bucket_len(self, T: int) -> int:
         return max(2, -(-T // self.frame_bucket) * self.frame_bucket)
 
     def track_batch(self, sequences: Sequence[list]) -> List[np.ndarray]:
+        B_real = len(sequences)
+        # pad the batch to a mesh-divisible size by repeating the last tracklet
+        pad = (-B_real) % self._mesh_size
+        sequences = list(sequences) + [sequences[-1]] * pad
         B = len(sequences)
         T_pad = max(self._bucket_len(len(s)) for s in sequences)
         P, P1 = self.max_points, self.first_crop_points
@@ -179,7 +200,10 @@ class MatchScanTracker:
                 jnp.asarray(init), jnp.asarray(first_pts), jnp.asarray(first_valid),
             )
         )
-        return [boxes[b, : len(seq) - 1] for b, seq in enumerate(sequences)]
+        return [
+            boxes[b, : len(seq) - 1]
+            for b, seq in enumerate(sequences[:B_real])
+        ]
 
     def evaluate_sequences(self, sequences, config):
         all_boxes = self.track_batch(sequences)
