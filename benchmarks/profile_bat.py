@@ -195,6 +195,64 @@ def main():
     t = chain_timed(group_points, (feats, idx), iters=ITERS)
     add(f"group_points ({B},{N},128) k=32", t)
 
+    # ---- group_points backward (scatter-add VJP) --------------------------------
+    gp_bwd = jax.grad(lambda f, i: jnp.sum(group_points(f, i) ** 2))
+    t = chain_timed(gp_bwd, (feats, idx), iters=ITERS)
+    add(f"group_points bwd ({B},{N},128) k=32", t)
+
+    # ---- per-SA-layer fwd / fwd+bwd at the search-tower shapes ------------------
+    # separates neighborhood machinery (fps/ball-query/gather/scatter) from the
+    # grid MLP: "SA{i}" rows run the full layer, "gridMLP{i}" rows run the same
+    # SharedMLP on a pre-gathered (B,S,K,C+3) grid (matmul+BN+relu+max only)
+    from open3dsot_tpu.models.pointnet import SetAbstraction
+    from open3dsot_tpu.models.layers import MLP as SharedMLP
+
+    sa_shapes = [
+        (N, N // 2, 0.3, 0, [64, 64, 128], True),
+        (N // 2, N // 4, 0.5, 128, [128, 128, 256], False),
+        (N // 4, N // 8, 0.7, 256, [256, 256, 256], False),
+    ]
+    for li, (n, s, r, c, mlp_ch, fps) in enumerate(sa_shapes):
+        xyz = jnp.asarray(rng.normal(size=(B, n, 3)).astype(np.float32) * 2)
+        fin = (jnp.asarray(rng.normal(size=(B, n, c)).astype(np.float32))
+               if c else None)
+        sa = SetAbstraction(mlp=mlp_ch, radius=r, nsample=32, use_fps=fps)
+        sa_vars = sa.init(jax.random.PRNGKey(0), xyz[:2],
+                          None if fin is None else fin[:2], s, train=True)
+
+        def sa_fwd(v, x, f, sa=sa, s=s):
+            return sa.apply(v, x, f, s, train=True, mutable=["batch_stats"])
+
+        args_sa = (sa_vars, xyz, fin)
+        t = chain_timed(sa_fwd, args_sa, iters=ITERS)
+        add(f"SA{li} fwd ({B},{n},{c})->{s}", t, flops_of(sa_fwd, *args_sa))
+
+        def sa_loss(v, x, f, sa=sa, s=s):
+            out, _ = sa.apply(v, x, f, s, train=True, mutable=["batch_stats"])
+            return jnp.sum(out[1] ** 2)
+
+        # grad wrt params (+ incoming features when present) only — in the
+        # real step positions feed the non-differentiable FPS/ball-query
+        # index path and receive no cotangent
+        gsa = (jax.grad(sa_loss, argnums=0)
+               if fin is None else jax.grad(sa_loss, argnums=(0, 2)))
+        t = chain_timed(gsa, args_sa, iters=ITERS)
+        add(f"SA{li} fwd+bwd ({B},{n},{c})->{s}", t, flops_of(gsa, *args_sa))
+
+        grid = jnp.asarray(
+            rng.normal(size=(B, s, 32, c + 3)).astype(np.float32))
+        gm = SharedMLP(mlp_ch)
+        gm_vars = gm.init(jax.random.PRNGKey(0), grid[:2], train=True)
+
+        def gm_loss(v, g, gm=gm):
+            out, _ = gm.apply(v, g, train=True, mutable=["batch_stats"])
+            return jnp.sum(jnp.max(out, axis=2) ** 2)
+
+        ggm = jax.grad(gm_loss, argnums=(0, 1))
+        t = chain_timed(ggm, (gm_vars, grid), iters=ITERS)
+        add(f"gridMLP{li} fwd+bwd ({B},{s},32,{c + 3})", t,
+            flops_of(ggm, gm_vars, grid))
+
     # ---- backbone standalone (search tower) -------------------------------------
     bb = PointnetBackbone(use_fps=True, normalize_xyz=False)
     bb_vars = bb.init(jax.random.PRNGKey(0), jb["search_points"][:2],

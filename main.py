@@ -43,6 +43,10 @@ def parse_args():
     parser.add_argument("--fused_sa", type=str, default=None,
                         choices=["auto", "true", "false"],
                         help="fused SA eval kernel (ops/sa_fused.py)")
+    parser.add_argument("--fused_sa_train", type=str, default=None,
+                        choices=["auto", "true", "false"],
+                        help="fused training-mode SA kernels "
+                             "(ops/sa_fused_train.py)")
     parser.add_argument("--max_tracklets", type=int, default=None,
                         help="cap eval tracklets (debug)")
     parser.add_argument("--num_devices", type=int, default=None,
@@ -68,6 +72,9 @@ def main():
     # defaults (reference main.py:47 does config.update(vars(args)))
     overrides["preloading"] = args.preloading
     overrides["save_top_k"] = args.save_top_k
+    if args.fused_sa_train is not None:
+        overrides["fused_sa_train"] = {"true": True, "false": False,
+                                       "auto": "auto"}[args.fused_sa_train]
     if args.fused_sa is not None:
         overrides["fused_sa"] = {"true": True, "false": False,
                                  "auto": "auto"}[args.fused_sa]

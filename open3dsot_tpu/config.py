@@ -81,6 +81,9 @@ DEFAULTS: Dict[str, Any] = {
     # on TPU backends only (the Pallas kernel runs interpreted — slowly —
     # on CPU); True/False force it
     "fused_sa": "auto",
+    # fused training-mode SA passes with a custom VJP
+    # (ops/sa_fused_train.py); same auto-on-TPU semantics
+    "fused_sa_train": "auto",
     # build training samples inside the jitted train step
     # (data/device_sampler.py; train_motion only). The host then only pads
     # raw frames — it is ~10x too slow to build samples itself on 1 core

@@ -19,7 +19,11 @@ import numpy as np
 
 from open3dsot_tpu.models.layers import MLP
 from open3dsot_tpu.models.losses import smooth_l1
-from open3dsot_tpu.models.matching_base import _compute_dtype, _fused_sa  # noqa: E501
+from open3dsot_tpu.models.matching_base import (  # noqa: E501
+    _compute_dtype,
+    _fused_sa,
+    _fused_sa_train,
+)
 from open3dsot_tpu.models.matching_base import (
     MatchingEvalMixin,
     matching_loss,
@@ -44,6 +48,7 @@ class BATNet(nn.Module):
     use_fps: bool = True
     normalize_xyz: bool = False
     fused_eval: bool = False
+    fused_train: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -52,7 +57,8 @@ class BATNet(nn.Module):
         M, N = template.shape[1], search.shape[1]
         backbone = PointnetBackbone(
             use_fps=self.use_fps, normalize_xyz=self.normalize_xyz,
-            fused_eval=self.fused_eval, dtype=self.dtype, name="backbone"
+            fused_eval=self.fused_eval, fused_train=self.fused_train,
+            dtype=self.dtype, name="backbone"
         )
         conv_final = nn.Dense(self.feature_channel, dtype=self.dtype, name="conv_final")
 
@@ -130,6 +136,7 @@ class BATModel(MatchingEvalMixin):
             use_fps=getattr(config, "use_fps", True),
             normalize_xyz=getattr(config, "normalize_xyz", False),
             fused_eval=_fused_sa(config),
+            fused_train=_fused_sa_train(config),
             dtype=_compute_dtype(config),
         )
 

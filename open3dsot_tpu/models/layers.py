@@ -23,25 +23,48 @@ import jax.numpy as jnp
 
 
 class DenseBNRelu(nn.Module):
-    """Dense -> BatchNorm -> ReLU over the last axis (any leading shape)."""
+    """Dense -> BatchNorm -> ReLU over the last axis (any leading shape).
+
+    setup-style (not nn.compact) so fused training kernels can register the
+    BatchNorm running-statistics update without running the grid through the
+    module (`update_batch_stats`); the variable tree is unchanged
+    ('dense' / 'bn' child names are explicit).
+    """
 
     features: int
     bn: bool = True
     activation: bool = True
     dtype: Any = None  # computation dtype; None = float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Dense(self.features, kernel_init=nn.initializers.kaiming_normal(),
-                     dtype=self.dtype, name="dense")(x)
+    def setup(self):
+        self.dense = nn.Dense(
+            self.features, kernel_init=nn.initializers.kaiming_normal(),
+            dtype=self.dtype, name="dense",
+        )
         if self.bn:
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype, name="bn"
-            )(x)
+            self.norm = nn.BatchNorm(
+                momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn",
+            )
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = self.dense(x)
+        if self.bn:
+            x = self.norm(x, use_running_average=not train)
         if self.activation:
             x = nn.relu(x)
         return x
+
+    def update_batch_stats(self, mean: jnp.ndarray, var: jnp.ndarray) -> None:
+        """Register a running-statistics update for externally computed batch
+        statistics (ops/sa_fused_train.py): feed the BatchNorm a crafted
+        2-sample input [mean+sqrt(var), mean-sqrt(var)] whose batch mean /
+        biased variance equal (mean, var) exactly, so flax performs the
+        identical `ra = m*ra + (1-m)*batch` blend as the unfused path. The
+        normalized output is discarded."""
+        delta = jnp.sqrt(jnp.maximum(var.astype(jnp.float32), 0.0))
+        mean = mean.astype(jnp.float32)
+        crafted = jnp.stack([mean + delta, mean - delta], axis=0)  # (2, C)
+        self.norm(crafted, use_running_average=False)
 
 
 class MLP(nn.Module):
@@ -54,13 +77,26 @@ class MLP(nn.Module):
     final_plain: bool = False
     dtype: Any = None
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def setup(self):
         n = len(self.channels)
-        for i, ch in enumerate(self.channels):
-            plain = self.final_plain and i == n - 1
-            x = DenseBNRelu(
-                ch, bn=not plain, activation=not plain, dtype=self.dtype,
-                name=f"layer{i}"
-            )(x, train=train)
+        self.layers = [
+            DenseBNRelu(
+                ch,
+                bn=not (self.final_plain and i == n - 1),
+                activation=not (self.final_plain and i == n - 1),
+                dtype=self.dtype,
+                name=f"layer{i}",
+            )
+            for i, ch in enumerate(self.channels)
+        ]
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for layer in self.layers:
+            x = layer(x, train=train)
         return x
+
+    def update_batch_stats(self, stats: dict) -> None:
+        """stats: {'layer{i}': (batch_mean, batch_var)} from a fused kernel."""
+        for i, layer in enumerate(self.layers):
+            mean, var = stats[f"layer{i}"]
+            layer.update_batch_stats(mean, var)

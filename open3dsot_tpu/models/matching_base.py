@@ -31,6 +31,18 @@ def _fused_sa(config) -> bool:
     return bool(v)
 
 
+def _fused_sa_train(config) -> bool:
+    """Resolve config.fused_sa_train: 'auto' -> fused training-mode SA
+    kernels (ops/sa_fused_train.py) on TPU only, same rationale as
+    _fused_sa."""
+    v = getattr(config, "fused_sa_train", "auto")
+    if v in ("auto", None):
+        import jax
+
+        return jax.default_backend() == "tpu"
+    return bool(v)
+
+
 def matching_loss(config, batch: dict, output: dict) -> dict:
     """Reference base_model.py:122-164. Expects seg_label already gathered
     through the backbone sample idxs (done in the model's train apply)."""

@@ -15,7 +15,11 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from open3dsot_tpu.models.matching_base import _compute_dtype, _fused_sa  # noqa: E501
+from open3dsot_tpu.models.matching_base import (  # noqa: E501
+    _compute_dtype,
+    _fused_sa,
+    _fused_sa_train,
+)
 from open3dsot_tpu.models.matching_base import (
     MatchingEvalMixin,
     matching_loss,
@@ -35,6 +39,7 @@ class P2BNet(nn.Module):
     use_fps: bool = False
     normalize_xyz: bool = False
     fused_eval: bool = False
+    fused_train: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -43,7 +48,8 @@ class P2BNet(nn.Module):
         M, N = template.shape[1], search.shape[1]
         backbone = PointnetBackbone(
             use_fps=self.use_fps, normalize_xyz=self.normalize_xyz,
-            fused_eval=self.fused_eval, dtype=self.dtype, name="backbone"
+            fused_eval=self.fused_eval, fused_train=self.fused_train,
+            dtype=self.dtype, name="backbone"
         )
         conv_final = nn.Dense(self.feature_channel, dtype=self.dtype, name="conv_final")
 
@@ -96,6 +102,7 @@ class P2BModel(MatchingEvalMixin):
             use_fps=getattr(config, "use_fps", False),
             normalize_xyz=getattr(config, "normalize_xyz", False),
             fused_eval=_fused_sa(config),
+            fused_train=_fused_sa_train(config),
             dtype=_compute_dtype(config),
         )
 

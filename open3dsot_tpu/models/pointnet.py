@@ -30,6 +30,7 @@ from open3dsot_tpu.models.layers import MLP
 from open3dsot_tpu.ops import ball_query, furthest_point_sample, gather_points, group_points
 from open3dsot_tpu.ops.interpolate import three_interpolate, three_nn
 from open3dsot_tpu.ops.sa_fused import fused_sa_apply
+from open3dsot_tpu.ops.sa_fused_train import fused_sa_train_apply
 
 
 class MiniPointNet(nn.Module):
@@ -89,6 +90,7 @@ class SetAbstraction(nn.Module):
     use_fps: bool = False
     normalize_xyz: bool = False
     fused_eval: bool = False
+    fused_train: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -133,6 +135,34 @@ class SetAbstraction(nn.Module):
             )
             return new_xyz, out, sample_idxs
 
+        mlp_mod = MLP(self.mlp, dtype=self.dtype, name="mlp_shared")
+
+        if (
+            self.fused_train
+            and train
+            and not self.is_initializing()
+            and features is not None
+            and len(self.mlp) == 3
+        ):
+            # Fused training passes (ops/sa_fused_train.py): batch-stats ->
+            # BN fold -> eval-style tiled forward, with a custom VJP doing
+            # the exact BatchNorm-training chain rule. Feature-bearing
+            # layers only: with no features the per-pass one-hot gather
+            # dominates the small grid MLP (measured slower on SA layer 1).
+            idx = ball_query(self.radius, self.nsample, xyz, new_xyz)
+            out, stats = fused_sa_train_apply(
+                xyz, features, new_xyz, idx,
+                self.variables["params"]["mlp_shared"],
+                radius=self.radius,
+                normalize_xyz=self.normalize_xyz,
+                use_xyz=self.use_xyz,
+                dtype=self.dtype,
+            )
+            # running-statistics update through the real BN modules so the
+            # batch_stats collection blend is identical to the unfused path
+            mlp_mod.update_batch_stats(stats)
+            return new_xyz, out, sample_idxs
+
         idx = ball_query(self.radius, self.nsample, xyz, new_xyz)  # (B, S, K)
         grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]  # (B, S, K, 3)
         if self.normalize_xyz:
@@ -146,7 +176,7 @@ class SetAbstraction(nn.Module):
         else:
             grouped = grouped_xyz
 
-        out = MLP(self.mlp, dtype=self.dtype, name="mlp_shared")(grouped, train=train)  # (B, S, K, C')
+        out = mlp_mod(grouped, train=train)  # (B, S, K, C')
         out = jnp.max(out, axis=2)  # max over neighborhood
         return new_xyz, out, sample_idxs
 
@@ -190,6 +220,7 @@ class PointnetBackbone(nn.Module):
     return_intermediate: bool = False
     input_channels: int = 0
     fused_eval: bool = False
+    fused_train: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -213,6 +244,7 @@ class PointnetBackbone(nn.Module):
                 use_fps=spec["use_fps"],
                 normalize_xyz=self.normalize_xyz,
                 fused_eval=self.fused_eval,
+                fused_train=self.fused_train,
                 dtype=self.dtype,
                 name=f"sa{i}",
             )(l_xyz[i], l_features[i], numpoints[i], train=train)

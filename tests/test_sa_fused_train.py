@@ -1,0 +1,213 @@
+"""Golden tests for the fused training-mode SA (ops/sa_fused_train.py).
+
+The 'ref' impl pins the pass-decomposed math (batch-stats -> fold ->
+eval-style forward; manual BN-training VJP) against flax autodiff of the
+plain unfused grid MLP; the 'pallas' impl is then tested against 'ref' in
+interpret mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open3dsot_tpu.models.layers import MLP
+from open3dsot_tpu.ops import ball_query, group_points
+from open3dsot_tpu.ops.sa_fused_train import fused_sa_train_apply
+
+
+def _setup(B=2, N=64, S=16, K=8, C=12, mlp=(16, 16, 24), radius=0.8,
+           seed=0, normalize_xyz=False):
+    rng = np.random.default_rng(seed)
+    xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    new_xyz = xyz[:, :S]
+    idx = ball_query(radius, K, xyz, new_xyz)
+
+    mod = MLP(list(mlp))
+    grouped0 = jnp.zeros((B, S, K, 3 + C), jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(1), grouped0, train=True)
+    # randomize params so BN scale/bias and dense biases matter
+    params = jax.tree_util.tree_map(
+        lambda x: x + jnp.asarray(rng.standard_normal(x.shape), x.dtype) * 0.3,
+        variables["params"],
+    )
+    stats0 = variables["batch_stats"]
+    return xyz, feats, new_xyz, idx, mod, params, stats0, radius, normalize_xyz
+
+
+def _unfused(mod, params, stats0, xyz, feats, new_xyz, idx, radius,
+             normalize_xyz):
+    grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+    if normalize_xyz:
+        grouped_xyz = grouped_xyz / radius
+    grouped = jnp.concatenate([grouped_xyz, group_points(feats, idx)], axis=-1)
+    out, updates = mod.apply(
+        {"params": params, "batch_stats": stats0}, grouped, train=True,
+        mutable=["batch_stats"],
+    )
+    return jnp.max(out, axis=2), updates["batch_stats"]
+
+
+@pytest.mark.parametrize("impl", ["ref", "pallas"])
+@pytest.mark.parametrize("normalize_xyz", [False, True])
+def test_fwd_matches_unfused_train(impl, normalize_xyz):
+    (xyz, feats, new_xyz, idx, mod, params, stats0, radius,
+     _) = _setup(normalize_xyz=normalize_xyz)
+    ref_out, _ = _unfused(mod, params, stats0, xyz, feats, new_xyz, idx,
+                          radius, normalize_xyz)
+    out, _ = fused_sa_train_apply(
+        xyz, feats, new_xyz, idx, params, radius=radius,
+        normalize_xyz=normalize_xyz, use_xyz=True, impl=impl,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("impl", ["ref", "pallas"])
+def test_batch_stats_match_unfused(impl):
+    (xyz, feats, new_xyz, idx, mod, params, stats0, radius,
+     normalize_xyz) = _setup()
+    _, new_stats = _unfused(mod, params, stats0, xyz, feats, new_xyz, idx,
+                            radius, normalize_xyz)
+    _, stats = fused_sa_train_apply(
+        xyz, feats, new_xyz, idx, params, radius=radius,
+        normalize_xyz=normalize_xyz, use_xyz=True, impl=impl,
+    )
+    # flax: ra_new = 0.9 * ra_old + 0.1 * batch_stat, ra_old = init (0 / 1)
+    for i in range(3):
+        bn = new_stats[f"layer{i}"]["bn"]
+        mu_ref = (bn["mean"] - 0.9 * stats0[f"layer{i}"]["bn"]["mean"]) / 0.1
+        v_ref = (bn["var"] - 0.9 * stats0[f"layer{i}"]["bn"]["var"]) / 0.1
+        mu, v = stats[f"layer{i}"]
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["ref", "pallas"])
+def test_grads_match_unfused_autodiff(impl):
+    (xyz, feats, new_xyz, idx, mod, params, stats0, radius,
+     normalize_xyz) = _setup()
+    rng = np.random.default_rng(7)
+    S, C3 = 16, 24
+    gvec = jnp.asarray(rng.standard_normal((2, S, C3)), jnp.float32)
+
+    def loss_ref(params, xyz, feats, new_xyz):
+        out, _ = _unfused(mod, params, stats0, xyz, feats, new_xyz, idx,
+                          radius, normalize_xyz)
+        return jnp.sum(out * gvec)
+
+    def loss_fused(params, xyz, feats, new_xyz):
+        out, _ = fused_sa_train_apply(
+            xyz, feats, new_xyz, idx, params, radius=radius,
+            normalize_xyz=normalize_xyz, use_xyz=True, impl=impl,
+        )
+        return jnp.sum(out * gvec)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(params, xyz, feats,
+                                                     new_xyz)
+    g_fus = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(params, xyz, feats,
+                                                       new_xyz)
+    names = ["params", "xyz", "feats", "new_xyz"]
+    for name, a, b in zip(names, g_ref, g_fus):
+        la = jax.tree_util.tree_leaves_with_path(a)
+        lb = jax.tree_util.tree_leaves(b)
+        for (path, x), y in zip(la, lb):
+            scale = max(1.0, float(jnp.max(jnp.abs(x))))
+            np.testing.assert_allclose(
+                np.asarray(y), np.asarray(x), rtol=5e-4,
+                atol=5e-5 * scale,
+                err_msg=f"{name}{jax.tree_util.keystr(path)}",
+            )
+
+
+def test_set_abstraction_fused_train_parity():
+    """Full module-level parity: SetAbstraction(fused_train=True) matches
+    the unfused path in forward, parameter gradients, AND the mutable
+    batch_stats update (through the crafted-2-sample BN feed)."""
+    from open3dsot_tpu.models.pointnet import SetAbstraction
+
+    rng = np.random.default_rng(3)
+    B, N, S, K, C = 2, 64, 16, 8, 12
+    xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    kw = dict(mlp=[16, 16, 24], radius=0.8, nsample=K, use_fps=False,
+              normalize_xyz=True)
+    sa_plain = SetAbstraction(**kw)
+    sa_fused = SetAbstraction(fused_train=True, **kw)
+    variables = sa_plain.init(jax.random.PRNGKey(0), xyz, feats, S,
+                              train=True)
+    params = jax.tree_util.tree_map(
+        lambda x: x + jnp.asarray(rng.standard_normal(x.shape), x.dtype) * 0.2,
+        variables["params"],
+    )
+    stats0 = variables["batch_stats"]
+    gvec = jnp.asarray(rng.standard_normal((B, S, 24)), jnp.float32)
+
+    def run(sa, params):
+        (new_xyz, out, idxs), upd = sa.apply(
+            {"params": params, "batch_stats": stats0}, xyz, feats, S,
+            train=True, mutable=["batch_stats"],
+        )
+        return out, upd["batch_stats"]
+
+    out_p, bs_p = run(sa_plain, params)
+    out_f, bs_f = run(sa_fused, params)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
+                               rtol=2e-4, atol=2e-5)
+    for (pa, x), y in zip(
+        jax.tree_util.tree_leaves_with_path(bs_p),
+        jax.tree_util.tree_leaves(bs_f),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(pa))
+
+    g_p = jax.grad(lambda p: jnp.sum(run(sa_plain, p)[0] * gvec))(params)
+    g_f = jax.grad(lambda p: jnp.sum(run(sa_fused, p)[0] * gvec))(params)
+    for (pa, x), y in zip(
+        jax.tree_util.tree_leaves_with_path(g_p),
+        jax.tree_util.tree_leaves(g_f),
+    ):
+        scale = max(1.0, float(jnp.max(jnp.abs(x))))
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), rtol=5e-4, atol=5e-5 * scale,
+            err_msg=jax.tree_util.keystr(pa))
+
+
+def test_set_abstraction_fused_train_no_features_falls_back():
+    # featureless layers (SA layer 1 of the backbone) keep the unfused path
+    from open3dsot_tpu.models.pointnet import SetAbstraction
+
+    rng = np.random.default_rng(5)
+    xyz = jnp.asarray(rng.standard_normal((2, 32, 3)), jnp.float32)
+    sa = SetAbstraction(mlp=[8, 8, 16], radius=0.8, nsample=4, use_fps=False,
+                        fused_train=True)
+    variables = sa.init(jax.random.PRNGKey(0), xyz, None, 8, train=True)
+    (_, out, _), _ = sa.apply(variables, xyz, None, 8, train=True,
+                              mutable=["batch_stats"])
+    assert out.shape == (2, 8, 16)
+
+
+@pytest.mark.parametrize("impl", ["ref", "pallas"])
+def test_dense_bias_grads_are_zero(impl):
+    # a Dense bias feeding a BatchNorm has exactly zero gradient
+    # (sum(y_hat) == 0); the fused VJP returns analytic zeros for layers 2-3
+    (xyz, feats, new_xyz, idx, mod, params, stats0, radius,
+     normalize_xyz) = _setup()
+
+    def loss_fused(params):
+        out, _ = fused_sa_train_apply(
+            xyz, feats, new_xyz, idx, params, radius=radius,
+            normalize_xyz=normalize_xyz, use_xyz=True, impl=impl,
+        )
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss_fused)(params)
+    assert float(jnp.max(jnp.abs(g["layer1"]["dense"]["bias"]))) == 0.0
+    assert float(jnp.max(jnp.abs(g["layer2"]["dense"]["bias"]))) == 0.0
+    # layer-1 bias flows through ct: analytically 0 too, but computed by
+    # autodiff of the A-form einsums — only approximately zero
+    assert float(jnp.max(jnp.abs(g["layer0"]["dense"]["bias"]))) < 1e-3
