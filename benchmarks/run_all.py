@@ -263,8 +263,17 @@ def main():
         train_row(f"M2-Track train step (batch {m2_cfg.batch_size} x 2048 pts)", m2, m2_cfg)
         train_row(f"M2-Track train step bf16 (batch {m2_cfg.batch_size})", m2t16, m2_cfg16)
     if _want("train") or _want("train_bat"):
-        train_row(f"BAT train step (batch {bat_cfg.batch_size}, 512/1024 pts)", bat, bat_cfg)
-        train_row(f"BAT train step bf16 (batch {bat_cfg.batch_size})",
+        # unfused baselines (fused_sa_train would auto-enable on TPU)
+        bat_cfg_uf = _copy.deepcopy(bat_cfg)
+        bat_cfg_uf.fused_sa_train = False
+        bat_cfg16_uf = _copy.deepcopy(bat_cfg16)
+        bat_cfg16_uf.fused_sa_train = False
+        train_row(f"BAT train step (batch {bat_cfg.batch_size}, 512/1024 pts), unfused SA",
+                  get_model("bat")(bat_cfg_uf), bat_cfg_uf)
+        train_row(f"BAT train step, fused train SA (ops/sa_fused_train.py)", bat, bat_cfg)
+        train_row(f"BAT train step bf16 (batch {bat_cfg.batch_size}), unfused SA",
+                  get_model("bat")(bat_cfg16_uf), bat_cfg16_uf)
+        train_row("BAT train step bf16, fused train SA",
                   get_model("bat")(bat_cfg16), bat_cfg16)
     # steps INCLUDING the on-device sample build (host pipeline cost -> 0)
     if _want("dstrain") or _want("dstrain_m2"):
