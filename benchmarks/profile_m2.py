@@ -91,7 +91,7 @@ def main():
     outs = [g(state, batch) for _ in range(3)]
     _ = [float(o) for o in outs]
     add("train step (fwd+bwd+opt)", (time.perf_counter() - t0) / (3 * ITERS),
-        flops_of(step, state, batch) if True else float("nan"))
+        flops_of(step, state, batch))
 
     variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
 

@@ -137,6 +137,22 @@ def main():
         rows.append(("M2-Track eval, batched scan (8 tracklets/dispatch)",
                      f"{frames / dt:.0f} frames/s"))
 
+        # deeper tracklet batching: 32 tracklets per scan dispatch
+        cfg32 = _copy.deepcopy(m2_cfg)
+        cfg32.syn_num_tracklets = 32
+        sampler32 = get_dataset(cfg32, "test", "test")
+        seqs32 = [sampler32[i] for i in range(len(sampler32))]
+        frames32 = sum(len(s) for s in seqs32)
+        scan32 = M2ScanTracker(m2, m2_vars, cfg32, max_points=1024,
+                               frame_bucket=64)
+        scan32.track_batch(seqs32)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            scan32.track_batch(seqs32)
+        dt = (time.perf_counter() - t0) / 3
+        rows.append(("M2-Track eval, batched scan (32 tracklets/dispatch)",
+                     f"{frames32 / dt:.0f} frames/s"))
+
         # bf16 batched scan
         m2_16 = get_model("m2track")(m2_cfg16)
         scan16 = M2ScanTracker(m2_16, m2_vars, m2_cfg16, max_points=1024,
@@ -171,21 +187,22 @@ def main():
     bat_sampler = get_dataset(bat_cfg, "test", "test")
     bat_seqs = [bat_sampler[i] for i in range(len(bat_sampler))]
     bat_frames = sum(len(s) for s in bat_seqs)
-    import copy as _copy2
-
-    def bat_scan_row(label, cfg_over):
-        cfg_v = _copy2.deepcopy(bat_cfg)
+    def bat_scan_row(label, cfg_over, seqs=None):
+        cfg_v = _copy.deepcopy(bat_cfg)
         for k, v in cfg_over.items():
             setattr(cfg_v, k, v)
+        if seqs is None:
+            seqs = bat_seqs
+        n_frames = sum(len(s) for s in seqs)
         model_v = get_model("bat")(cfg_v)
         tr = MatchScanTracker(model_v, bat_vars, cfg_v, max_points=1024,
                               frame_bucket=32)
-        tr.track_batch(bat_seqs)
+        tr.track_batch(seqs)
         t0 = time.perf_counter()
         for _ in range(3):
-            tr.track_batch(bat_seqs)
+            tr.track_batch(seqs)
         rows.append((label,
-                     f"{bat_frames / ((time.perf_counter() - t0) / 3):.0f} frames/s"))
+                     f"{n_frames / ((time.perf_counter() - t0) / 3):.0f} frames/s"))
 
     if _want("bateval") or _want("bateval_unfused"):
         bat_scan_row("BAT eval, batched scan (4 tracklets/dispatch), unfused SA",
@@ -198,20 +215,12 @@ def main():
                      {"fused_sa": True, "bf16": True})
     if _want("bateval_b8"):
         # deeper tracklet batching: 8 tracklets per scan dispatch
-        cfg8 = _copy2.deepcopy(bat_cfg)
+        cfg8 = _copy.deepcopy(bat_cfg)
         cfg8.syn_num_tracklets = 8
-        cfg8.fused_sa = True
         sampler8 = get_dataset(cfg8, "test", "test")
-        seqs8 = [sampler8[i] for i in range(len(sampler8))]
-        frames8 = sum(len(s) for s in seqs8)
-        tr8 = MatchScanTracker(get_model("bat")(cfg8), bat_vars, cfg8,
-                               max_points=1024, frame_bucket=32)
-        tr8.track_batch(seqs8)
-        t0 = time.perf_counter()
-        for _ in range(3):
-            tr8.track_batch(seqs8)
-        rows.append(("BAT eval, batched scan (8 tracklets/dispatch), fused SA",
-                     f"{frames8 / ((time.perf_counter() - t0) / 3):.0f} frames/s"))
+        bat_scan_row("BAT eval, batched scan (8 tracklets/dispatch), fused SA",
+                     {"fused_sa": True, "syn_num_tracklets": 8},
+                     seqs=[sampler8[i] for i in range(len(sampler8))])
 
     # ---------------- kernels (chained in-graph timing) ----------------
     if _want("kernels"):

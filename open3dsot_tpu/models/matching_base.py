@@ -21,25 +21,29 @@ def _compute_dtype(config):
 
 
 def _fused_sa(config) -> bool:
-    """Resolve config.fused_sa: 'auto' -> fused SA eval kernel on TPU only
-    (on CPU the Pallas kernel would run interpreted, far slower than XLA)."""
+    """Resolve config.fused_sa: 'auto' -> fused SA eval kernel on a
+    SINGLE-device TPU backend only. On CPU the Pallas kernel would run
+    interpreted (far slower than XLA); on a multi-chip backend the emitted
+    tpu_custom_call has no GSPMD partitioning rule, so a sharded jit would
+    replicate the full batch per device — auto stays off there until the
+    kernels get a shard_map wrapper. True/False force it."""
     v = getattr(config, "fused_sa", "auto")
     if v in ("auto", None):
         import jax
 
-        return jax.default_backend() == "tpu"
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
     return bool(v)
 
 
 def _fused_sa_train(config) -> bool:
     """Resolve config.fused_sa_train: 'auto' -> fused training-mode SA
-    kernels (ops/sa_fused_train.py) on TPU only, same rationale as
-    _fused_sa."""
+    kernels (ops/sa_fused_train.py) on a single-device TPU backend only,
+    same rationale as _fused_sa."""
     v = getattr(config, "fused_sa_train", "auto")
     if v in ("auto", None):
         import jax
 
-        return jax.default_backend() == "tpu"
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
     return bool(v)
 
 

@@ -123,6 +123,50 @@ def test_grads_match_unfused_autodiff(impl):
             )
 
 
+def test_pallas_bf16_close_to_unfused_bf16():
+    """bf16 kernel branches (bf16 grid storage with recompute consistency,
+    the f32-compare workaround, the wider tile cap) in CPU interpret mode:
+    forward and gradients must track the UNFUSED flax path run at the same
+    bf16 compute dtype (an f32 comparison would conflate bf16 relu/max
+    branch flips with kernel bugs)."""
+    (xyz, feats, new_xyz, idx, _, params, stats0, radius,
+     normalize_xyz) = _setup()
+    rng = np.random.default_rng(11)
+    gvec = jnp.asarray(rng.standard_normal((2, 16, 24)), jnp.float32)
+    mod16 = MLP([16, 16, 24], dtype=jnp.bfloat16)
+
+    def loss_unfused(params):
+        out, _ = _unfused(mod16, params, stats0, xyz, feats, new_xyz, idx,
+                          radius, normalize_xyz)
+        return jnp.sum(out.astype(jnp.float32) * gvec)
+
+    def loss_fused(params):
+        out, _ = fused_sa_train_apply(
+            xyz, feats, new_xyz, idx, params, radius=radius,
+            normalize_xyz=normalize_xyz, use_xyz=True, impl="pallas",
+            dtype=jnp.bfloat16,
+        )
+        return jnp.sum(out.astype(jnp.float32) * gvec)
+
+    vu, gu = jax.value_and_grad(loss_unfused)(params)
+    vf, gf = jax.value_and_grad(loss_fused)(params)
+    assert np.isfinite(float(vf))
+    np.testing.assert_allclose(float(vf), float(vu), rtol=0.05)
+    for (pa, x), y in zip(
+        jax.tree_util.tree_leaves_with_path(gu),
+        jax.tree_util.tree_leaves(gf),
+    ):
+        key = jax.tree_util.keystr(pa)
+        if "'dense'" in key and "'bias'" in key:
+            # analytically zero (bias feeding a BatchNorm) — in bf16 both
+            # paths produce uncorrelated rounding noise around 0
+            continue
+        scale = max(1.0, float(jnp.max(jnp.abs(x))))
+        np.testing.assert_allclose(
+            np.asarray(y, np.float32), np.asarray(x, np.float32), rtol=0.15,
+            atol=0.08 * scale, err_msg=key)
+
+
 def test_set_abstraction_fused_train_parity():
     """Full module-level parity: SetAbstraction(fused_train=True) matches
     the unfused path in forward, parameter gradients, AND the mutable
