@@ -84,6 +84,11 @@ DEFAULTS: Dict[str, Any] = {
     # fused training-mode SA passes with a custom VJP
     # (ops/sa_fused_train.py); same auto-on-TPU semantics
     "fused_sa_train": "auto",
+    # explicit shard_map data parallelism instead of GSPMD jit-shardings:
+    # each device runs the step body on its local shard (DDP semantics —
+    # per-device BatchNorm batch statistics, pmean'd gradients), which is
+    # what lets the fused Pallas kernels run on a multi-chip mesh
+    "dp_shard_map": False,
     # build training samples inside the jitted train step
     # (data/device_sampler.py; train_motion only). The host then only pads
     # raw frames — it is ~10x too slow to build samples itself on 1 core

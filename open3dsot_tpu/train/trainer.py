@@ -70,7 +70,7 @@ def create_train_state(model, rng: jax.Array, optimizer) -> TrainState:
 
 def make_train_step(model, optimizer, mesh=None, donate: bool = True,
                     bn_schedule: bool = False, device_builder=None,
-                    sampler_seed: int = 0):
+                    sampler_seed: int = 0, dp_shard_map: bool = False):
     """Build the jitted train step. With a mesh, the batch is sharded over
     the 'data' axis and state is replicated; single-device otherwise.
 
@@ -83,6 +83,16 @@ def make_train_step(model, optimizer, mesh=None, donate: bool = True,
     padded frames and the whole sample build (crop/resample/labels) runs
     inside this jitted step, keyed by fold_in(seed, state.step) — the
     1-core host only pads frames (~10x data-bound otherwise).
+
+    dp_shard_map switches the mesh path from GSPMD (jit + shardings, XLA
+    inserts collectives; BatchNorm statistics computed over the GLOBAL
+    batch) to an explicit shard_map over the 'data' axis: each device runs
+    the whole step body on its local shard — which is what lets the fused
+    Pallas SA kernels (no GSPMD partitioning rule) run multi-chip —
+    gradients/losses are pmean'd like a DDP allreduce, and BatchNorm batch
+    statistics are per-device (the reference's DDP semantics, torch DDP
+    does not sync BN) with the running-statistics blend pmean'd afterwards
+    so state stays replicated.
     """
 
     def loss_fn(params, batch_stats, batch):
@@ -91,16 +101,26 @@ def make_train_step(model, optimizer, mesh=None, donate: bool = True,
         loss_dict = model.loss(model.config, batch, output)
         return loss_dict["loss_total"], (mutated["batch_stats"], loss_dict)
 
-    def step_core(state: TrainState, batch, bn_momentum=None):
+    def step_core(state: TrainState, batch, bn_momentum=None,
+                  axis_name=None):
         if device_builder is not None:
             key = jax.random.fold_in(jax.random.PRNGKey(sampler_seed), state.step)
             batch = device_builder(batch, key)
         grad_fn = jax.grad(loss_fn, has_aux=True)
         grads, (new_bs, loss_dict) = grad_fn(state.params, state.batch_stats, batch)
+        if axis_name is not None:
+            # DDP-style allreduce: per-device losses are means over the
+            # local shard, so pmean gives the global-batch gradient
+            grads = jax.lax.pmean(grads, axis_name)
+            loss_dict = jax.lax.pmean(loss_dict, axis_name)
         if bn_momentum is not None:
             from open3dsot_tpu.train.bn_momentum import reblend_batch_stats
 
             new_bs = reblend_batch_stats(state.batch_stats, new_bs, bn_momentum)
+        if axis_name is not None:
+            # keep running statistics replicated (per-device batch stats
+            # were blended independently above)
+            new_bs = jax.lax.pmean(new_bs, axis_name)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
@@ -120,6 +140,32 @@ def make_train_step(model, optimizer, mesh=None, donate: bool = True,
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    if dp_shard_map:
+        try:
+            from jax import shard_map  # jax >= 0.6 top-level export
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        if bn_schedule:
+            def smap_body(state, batch, bn_momentum):
+                return step_core(state, batch, bn_momentum, axis_name="data")
+
+            in_specs = (P(), P("data"), P())
+        else:
+            def smap_body(state, batch):
+                return step_core(state, batch, axis_name="data")
+
+            in_specs = (P(), P("data"))
+        kwargs = dict(mesh=mesh, in_specs=in_specs, out_specs=(P(), P()))
+        try:
+            # skip the replication checker: it cannot see through the Pallas
+            # custom calls ('check_vma' in jax>=0.6, 'check_rep' before)
+            mapped = shard_map(smap_body, check_vma=False, **kwargs)
+        except TypeError:  # pragma: no cover
+            mapped = shard_map(smap_body, check_rep=False, **kwargs)
+        return jax.jit(mapped, donate_argnums=(0,) if donate else ())
 
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
@@ -218,10 +264,13 @@ class Trainer:
                 decay=getattr(cfg, "bn_decay_rate", 0.5),
                 step_size=int(cfg.bn_decay_step),
             )
-        train_step = make_train_step(self.model, optimizer, mesh=self.mesh,
-                                     bn_schedule=bn_sched is not None,
-                                     device_builder=device_builder,
-                                     sampler_seed=int(cfg.seed) + 1)
+        train_step = make_train_step(
+            self.model, optimizer, mesh=self.mesh,
+            bn_schedule=bn_sched is not None,
+            device_builder=device_builder,
+            sampler_seed=int(cfg.seed) + 1,
+            dp_shard_map=bool(getattr(cfg, "dp_shard_map", False)),
+        )
 
         for epoch in range(start_epoch, epochs):
             loader.set_epoch(epoch)
