@@ -3,6 +3,8 @@ from open3dsot_tpu.parallel.mesh import (
     make_mesh,
     replicated_sharding,
     shard_batch,
+    shard_map_batch,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
+           "shard_batch", "shard_map_batch"]

@@ -53,3 +53,28 @@ def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
     """Device-put a numpy batch with its leading axis split across the mesh."""
     sh = batch_sharding(mesh, axis_name)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def shard_map_batch(fn, mesh: Mesh, n_replicated: int, n_batched: int,
+                    axis_name: str = "data"):
+    """shard_map `fn(repl..., batched...)` over the mesh's data axis: the
+    first `n_replicated` args are replicated, the next `n_batched` are split
+    on their leading axis, and the output is batch-sharded.
+
+    For embarrassingly-batch-parallel computations (the scan trackers) this
+    is equivalent to jit-with-shardings but runs the body PER DEVICE — which
+    is what lets Pallas kernels (no GSPMD partitioning rule for their custom
+    calls) execute on a multi-chip mesh. The replication checker is skipped
+    for the same reason ('check_vma' in jax>=0.6, 'check_rep' before).
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    in_specs = (P(),) * n_replicated + (P(axis_name),) * n_batched
+    kwargs = dict(mesh=mesh, in_specs=in_specs, out_specs=P(axis_name))
+    try:
+        return shard_map(fn, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover
+        return shard_map(fn, check_rep=False, **kwargs)

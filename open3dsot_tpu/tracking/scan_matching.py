@@ -140,14 +140,12 @@ class MatchScanTracker:
             # shard the tracklet batch over the 'data' mesh axis — the frame
             # recurrence is serial, so tracklets are the unit of parallelism
             # (B/num_devices per chip, replicated params, no collectives in
-            # the scan body); same design as M2ScanTracker
-            from open3dsot_tpu.parallel import batch_sharding, replicated_sharding
+            # the scan body); shard_map so the fused Pallas SA kernels run
+            # per device on a multi-chip mesh (same design as M2ScanTracker)
+            from open3dsot_tpu.parallel import shard_map_batch
 
-            repl, data = replicated_sharding(mesh), batch_sharding(mesh)
             self._track = jax.jit(
-                track_fn,
-                in_shardings=(repl, data, data, data, data, data, data),
-                out_shardings=data,
+                shard_map_batch(track_fn, mesh, n_replicated=1, n_batched=6)
             )
             self._mesh_size = mesh.devices.size
 

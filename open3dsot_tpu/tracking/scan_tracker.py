@@ -201,14 +201,14 @@ class M2ScanTracker:
             self._mesh_size = 1
         else:
             # shard the tracklet batch over the 'data' mesh axis: the serial
-            # frame recurrence stays local, B/num_devices tracklets per chip
-            from open3dsot_tpu.parallel import batch_sharding, replicated_sharding
+            # frame recurrence stays local, B/num_devices tracklets per chip.
+            # shard_map (not jit-shardings) so the fused Pallas kernels —
+            # whose custom calls have no GSPMD partitioning rule — run per
+            # device on a multi-chip mesh.
+            from open3dsot_tpu.parallel import shard_map_batch
 
-            repl, data = replicated_sharding(mesh), batch_sharding(mesh)
             self._track = jax.jit(
-                track_fn,
-                in_shardings=(repl, data, data, data, data),
-                out_shardings=data,
+                shard_map_batch(track_fn, mesh, n_replicated=1, n_batched=4)
             )
             self._mesh_size = mesh.devices.size
 

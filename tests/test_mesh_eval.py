@@ -88,3 +88,39 @@ class TestMeshScanEval:
         b = sharded.track_batch(seqs)  # batch 3 padded to 8 across devices
         for x, y in zip(a, b):
             assert np.allclose(x, y, atol=1e-4)
+
+    def test_matching_sharded_with_fused_kernels(self):
+        """The mesh path uses shard_map, so the fused Pallas eval SA kernel
+        (interpret on CPU) runs per device — jit-sharding GSPMD could not
+        partition its custom call."""
+        from open3dsot_tpu.tracking.scan_matching import MatchScanTracker
+
+        cfg = make_config(
+            dict(
+                dataset="synthetic", net_model="p2b", category_name="Car",
+                template_size=64, search_size=128, point_sample_size=64,
+                feature_channel=32, hidden_channel=32, out_channel=32,
+                vote_channel=32, num_proposal=16, bb_scale=1.0, bb_offset=2,
+                model_bb_scale=1.25, model_bb_offset=2.0,
+                search_bb_scale=1.25, search_bb_offset=2.0,
+                shape_aggregation="firstandprevious",
+                reference_BB="previous_result", degrees=True, use_z=False,
+                limit_box=False, IoU_space=3, up_axis=[0, 0, 1],
+                syn_num_tracklets=2, syn_tracklet_len=4, seed=0,
+                fused_sa=True,
+            )
+        )
+        model = get_model("p2b")(cfg)
+        variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
+        sampler = get_dataset(cfg, "test", "test")
+        seqs = [sampler[i] for i in range(2)]
+
+        plain = MatchScanTracker(model, variables, cfg, max_points=256,
+                                 first_crop_points=64)
+        mesh = make_mesh(8)
+        sharded = MatchScanTracker(model, variables, cfg, max_points=256,
+                                   first_crop_points=64, mesh=mesh)
+        a = plain.track_batch(seqs)
+        b = sharded.track_batch(seqs)
+        for x, y in zip(a, b):
+            assert np.allclose(x, y, atol=1e-4)
