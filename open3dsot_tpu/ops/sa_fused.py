@@ -68,6 +68,31 @@ def fold_dense_bn(layer_params, layer_stats) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return kernel * g[None, :], (bias - mean) * g + beta
 
 
+def a_form(xyz, features, new_xyz, w1, b1, *, inv_r: float, use_xyz: bool):
+    """A-form of SA MLP layer 1 at N points (see module docstring):
+    Dense1(concat((x_j - c_s) * inv_r, f_j)) == a[j] + ct[s] with
+    a = (x * inv_r) @ W1_xyz + f @ W1_feat and ct_s = b1 - (c_s * inv_r) @
+    W1_xyz. Returns (a (B, N, C1) f32, ct (B, S, C1) f32). Works for both
+    the eval kernel (folded W1/b1) and the training kernels (raw W1/b1)."""
+    B, S = xyz.shape[0], new_xyz.shape[1]
+    c1 = w1.shape[1]
+    xyz32 = xyz.astype(jnp.float32)
+    parts = []
+    ct = jnp.broadcast_to(b1[None, None, :], (B, S, c1))
+    if use_xyz or features is None:
+        w1x = w1[:3]
+        parts.append(jnp.einsum("bnd,dc->bnc", xyz32 * inv_r, w1x))
+        ct = ct - jnp.einsum("bsd,dc->bsc",
+                             new_xyz.astype(jnp.float32) * inv_r, w1x)
+        w1f = w1[3:]
+    else:
+        w1f = w1
+    if features is not None:
+        parts.append(jnp.einsum("bnc,cd->bnd",
+                                features.astype(jnp.float32), w1f))
+    return sum(parts), ct
+
+
 def _dot(a, b, cdt):
     # Default MXU precision with f32 accumulation: on TPU this matches the
     # unfused flax path (Dense also runs the MXU at default/bf16 precision
@@ -193,24 +218,9 @@ def fused_sa_apply(
     (w1, b1), (w2, b2), (w3, b3) = folded
     c1, c3 = w1.shape[1], w3.shape[1]
 
-    prec = None  # default MXU precision, like the unfused flax Dense
     inv_r = (1.0 / radius) if normalize_xyz else 1.0
-    xyz32 = xyz.astype(jnp.float32)
-    parts = []
-    ct = jnp.broadcast_to(b1[None, None, :], (B, S, c1))
-    if use_xyz or features is None:
-        w1x = w1[:3]
-        parts.append(jnp.einsum("bnd,dc->bnc", xyz32 * inv_r, w1x,
-                                precision=prec))
-        ct = ct - jnp.einsum("bsd,dc->bsc", new_xyz.astype(jnp.float32) * inv_r,
-                             w1x, precision=prec)
-        w1f = w1[3:]
-    else:
-        w1f = w1
-    if features is not None:
-        parts.append(jnp.einsum("bnc,cd->bnd", features.astype(jnp.float32),
-                                w1f, precision=prec))
-    a = sum(parts)  # (B, N, C1) float32; cast in-kernel
+    a, ct = a_form(xyz, features, new_xyz, w1, b1, inv_r=inv_r,
+                   use_xyz=use_xyz)  # (B, N, C1) float32; cast in-kernel
 
     ts = min(S, 64 if cdt != jnp.float32 else 32)
     s_pad = -(-S // ts) * ts

@@ -76,7 +76,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from open3dsot_tpu.ops.sa_fused import _BN_EPS, _dot
+from open3dsot_tpu.ops.sa_fused import _BN_EPS, _dot, a_form
 
 
 class _SACfg(NamedTuple):
@@ -289,25 +289,12 @@ def fused_sa_train_apply(
     g2, bt2 = bn[1]["scale"].astype(jnp.float32), bn[1]["bias"].astype(jnp.float32)
     g3, bt3 = bn[2]["scale"].astype(jnp.float32), bn[2]["bias"].astype(jnp.float32)
 
-    # A-form of MLP layer 1 at N points (sa_fused.py): y1 = a[idx] + ct.
-    # Plain XLA einsums — autodiff of these yields dW1/db1/dfeatures/dxyz
-    # from the (da, dct) cotangents the core emits.
+    # A-form of MLP layer 1 at N points (sa_fused.py::a_form): y1 = a[idx]
+    # + ct. Plain XLA einsums — autodiff of these yields dW1/db1/dfeatures/
+    # dxyz from the (da, dct) cotangents the core emits.
     inv_r = (1.0 / radius) if normalize_xyz else 1.0
-    xyz32 = xyz.astype(jnp.float32)
-    parts = []
-    ct = jnp.broadcast_to(b1[None, None, :], (B, S, w1.shape[1]))
-    if use_xyz or features is None:
-        w1x = w1[:3]
-        parts.append(jnp.einsum("bnd,dc->bnc", xyz32 * inv_r, w1x))
-        ct = ct - jnp.einsum("bsd,dc->bsc",
-                             new_xyz.astype(jnp.float32) * inv_r, w1x)
-        w1f = w1[3:]
-    else:
-        w1f = w1
-    if features is not None:
-        parts.append(jnp.einsum("bnc,cd->bnd",
-                                features.astype(jnp.float32), w1f))
-    a = sum(parts)  # (B, N, C1) f32
+    a, ct = a_form(xyz, features, new_xyz, w1, b1, inv_r=inv_r,
+                   use_xyz=use_xyz)  # (B, N, C1) f32
 
     cfg = _SACfg(B=B, N=N, S=S, K=K, C1=w1.shape[1], C2=w2.shape[1],
                  C3=w3.shape[1], cdt=cdt.name, interpret=bool(interpret),

@@ -55,6 +55,24 @@ def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def shard_map_nocheck(fn, mesh: Mesh, in_specs, out_specs):
+    """shard_map with the replication checker skipped: the checker cannot
+    see through Pallas custom calls, which is precisely why these paths use
+    shard_map instead of jit-shardings (no GSPMD partitioning rule for the
+    custom calls). Handles the flag rename ('check_vma' in jax>=0.6,
+    'check_rep' before) and the jax.experimental fallback import."""
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    kwargs = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    try:
+        return shard_map(fn, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover
+        return shard_map(fn, check_rep=False, **kwargs)
+
+
 def shard_map_batch(fn, mesh: Mesh, n_replicated: int, n_batched: int,
                     axis_name: str = "data"):
     """shard_map `fn(repl..., batched...)` over the mesh's data axis: the
@@ -63,18 +81,7 @@ def shard_map_batch(fn, mesh: Mesh, n_replicated: int, n_batched: int,
 
     For embarrassingly-batch-parallel computations (the scan trackers) this
     is equivalent to jit-with-shardings but runs the body PER DEVICE — which
-    is what lets Pallas kernels (no GSPMD partitioning rule for their custom
-    calls) execute on a multi-chip mesh. The replication checker is skipped
-    for the same reason ('check_vma' in jax>=0.6, 'check_rep' before).
+    is what lets Pallas kernels execute on a multi-chip mesh.
     """
-    try:
-        from jax import shard_map
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map
-
     in_specs = (P(),) * n_replicated + (P(axis_name),) * n_batched
-    kwargs = dict(mesh=mesh, in_specs=in_specs, out_specs=P(axis_name))
-    try:
-        return shard_map(fn, check_vma=False, **kwargs)
-    except TypeError:  # pragma: no cover
-        return shard_map(fn, check_rep=False, **kwargs)
+    return shard_map_nocheck(fn, mesh, in_specs, P(axis_name))

@@ -142,11 +142,9 @@ def make_train_step(model, optimizer, mesh=None, donate: bool = True,
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
     if dp_shard_map:
-        try:
-            from jax import shard_map  # jax >= 0.6 top-level export
-        except ImportError:  # pragma: no cover
-            from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
+
+        from open3dsot_tpu.parallel import shard_map_nocheck
 
         if bn_schedule:
             def smap_body(state, batch, bn_momentum):
@@ -158,13 +156,7 @@ def make_train_step(model, optimizer, mesh=None, donate: bool = True,
                 return step_core(state, batch, axis_name="data")
 
             in_specs = (P(), P("data"))
-        kwargs = dict(mesh=mesh, in_specs=in_specs, out_specs=(P(), P()))
-        try:
-            # skip the replication checker: it cannot see through the Pallas
-            # custom calls ('check_vma' in jax>=0.6, 'check_rep' before)
-            mapped = shard_map(smap_body, check_vma=False, **kwargs)
-        except TypeError:  # pragma: no cover
-            mapped = shard_map(smap_body, check_rep=False, **kwargs)
+        mapped = shard_map_nocheck(smap_body, mesh, in_specs, (P(), P()))
         return jax.jit(mapped, donate_argnums=(0,) if donate else ())
 
     repl = replicated_sharding(mesh)
