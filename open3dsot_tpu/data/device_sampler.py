@@ -112,10 +112,13 @@ def _augment(pts, valid, box, wlh, key, A=None):
     new_pts = jnp.where(mask[..., None], moved, pts)
 
     # box: theta += pi*flip_x + alpha (flip_y leaves the box, as in the
-    # reference); center translated by t in the original box frame
+    # reference); center translated by t in the original box frame. Wrap the
+    # composed theta into (-pi, pi] — the host represents the flipped box as
+    # a quaternion whose extracted angle is always wrapped (ADVICE r2)
     theta_off = jnp.where(flip_x, jnp.pi, 0.0) + alpha
     offset = jnp.concatenate([t, theta_off[:, None]], axis=-1)
     new_box = rigid.get_offset_box(box, offset, A=A)
+    new_box = new_box.at[:, 3].set(rigid.wrap_angle(new_box[:, 3]))
     return new_pts, new_box
 
 

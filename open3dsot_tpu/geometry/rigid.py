@@ -206,14 +206,27 @@ def limit_box_offset(offset: jnp.ndarray, wlh: jnp.ndarray, use_z: bool) -> jnp.
     return jnp.stack([dx, dy, dz, offset[:, 3]], axis=-1)
 
 
+def wrap_angle(t: jnp.ndarray) -> jnp.ndarray:
+    """Wrap angles into (-pi, pi].
+
+    The host box_to_params / transform_box path extracts theta from a
+    quaternion (points_utils.py:329-338 here; reference sampler.py:148-156),
+    which always lands in (-pi, pi]. Device theta math that SUBTRACTS or
+    ADDS raw angles (box - ref, flip +pi composition) must wrap the result
+    the same way or heading regression targets come out off by 2*pi for
+    headings crossing the +/-pi cut (ADVICE r2, high)."""
+    return jnp.pi - jnp.mod(jnp.pi - t, 2.0 * jnp.pi)
+
+
 def transform_box_params(box: jnp.ndarray, ref_box: jnp.ndarray, A=None) -> jnp.ndarray:
     """Express a 4-DoF box in another box's frame (B, 4) -> (B, 4).
 
     Device equivalent of points_utils.transform_box (host: translate by
     -ref.center, rotate by ref.rotation^-1): local center = Rz(-t_ref) A^T
     (c - c_ref), local theta = theta - theta_ref (z-rotations compose
-    additively in both up conventions).
+    additively in both up conventions), wrapped into (-pi, pi] to match the
+    host quaternion angle extraction.
     """
     local_c = remove_transform_points(box[:, None, :3], ref_box, A=A)[:, 0]
-    local_t = box[:, 3] - ref_box[:, 3]
+    local_t = wrap_angle(box[:, 3] - ref_box[:, 3])
     return jnp.concatenate([local_c, local_t[:, None]], axis=-1)

@@ -51,8 +51,25 @@ class MatchScanTracker:
     def __init__(self, model, variables, config, max_points: int = 4096,
                  first_crop_points: int = 1024, frame_bucket: int = 16,
                  mesh=None):
-        assert "FIRSTANDPREVIOUS" in config.shape_aggregation.upper()
-        assert "PREVIOUS_RESULT" in config.reference_BB.upper()
+        assert "FIRSTANDPREVIOUS" in config.shape_aggregation.upper(), (
+            f"scan path supports shape_aggregation='firstandprevious' only "
+            f"(got {config.shape_aggregation!r}); use the host tracker "
+            f"(tracking/eval.py) for other modes"
+        )
+        assert "PREVIOUS_RESULT" in config.reference_BB.upper(), (
+            f"scan path supports reference_BB='previous_result' only "
+            f"(got {config.reference_BB!r}); use the host tracker "
+            f"(tracking/eval.py) for other modes"
+        )
+        if bool(getattr(config, "limit_box", False)):
+            # the scan path replaces the reference's host-RNG uniform(-1,1)
+            # re-draw with a deterministic 0 (rigid.limit_box_offset) —
+            # approximate; drift measured in benchmarks/drift_benchmark.py
+            print(
+                "[scan_matching] limit_box active: the scan path emulates the "
+                "host RNG offset re-draw deterministically (approximate vs "
+                "reference; use tracking/eval.py for exact semantics)"
+            )
         # up-axis basis: None (z-up) or Rx(pi/2) for camera mode
         # (P2B_Car.yaml:15-16); raises on unsupported axes
         A = rigid.up_frame(config.up_axis)
@@ -243,13 +260,26 @@ def evaluate_dataset_scan_matching(model, variables, test_sampler, config,
 
     Pass a prebuilt `tracker` to reuse its compiled scan across calls
     (in-training validation); its variables are swapped for the given ones.
+    Configs the scan path cannot serve (shape_aggregation/reference_BB modes
+    other than firstandprevious/previous_result, unsupported up_axis) fall
+    back to the host fidelity tracker with a logged warning.
     """
     from collections import defaultdict
 
     from open3dsot_tpu.utils.metrics import Precision, Success
 
     if tracker is None:
-        tracker = MatchScanTracker(model, variables, config, max_points=max_points)
+        try:
+            tracker = MatchScanTracker(model, variables, config, max_points=max_points)
+        except (AssertionError, ValueError) as e:
+            print(f"[scan_matching] scan path unavailable ({e}); "
+                  f"falling back to the host tracker")
+            from open3dsot_tpu.tracking.eval import evaluate_dataset
+
+            return evaluate_dataset(
+                model, variables, test_sampler, config,
+                max_tracklets=max_tracklets,
+            )
     else:
         tracker.variables = variables
     success, precision = Success(), Precision()

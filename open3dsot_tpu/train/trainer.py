@@ -105,6 +105,12 @@ def make_train_step(model, optimizer, mesh=None, donate: bool = True,
                   axis_name=None):
         if device_builder is not None:
             key = jax.random.fold_in(jax.random.PRNGKey(sampler_seed), state.step)
+            if axis_name is not None:
+                # inside shard_map every device sees the same (seed, step) —
+                # diversify per device so local shards draw independent
+                # augmentation/offset/resampling randoms, like the
+                # reference's independent per-worker RNG streams (ADVICE r2)
+                key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
             batch = device_builder(batch, key)
         grad_fn = jax.grad(loss_fn, has_aux=True)
         grads, (new_bs, loss_dict) = grad_fn(state.params, state.batch_stats, batch)

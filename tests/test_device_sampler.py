@@ -365,3 +365,91 @@ def test_motion_builder_camera_mode_equivariance():
             np.asarray(out_z[k], np.float32), atol=3e-5,
             err_msg=k,
         )
+
+
+def test_theta_wrap_near_pi_matches_host():
+    """Headings crossing the +/-pi cut: raw-subtraction theta labels must
+    wrap into (-pi, pi] like the host quaternion extraction (ADVICE r2,
+    high). prev theta = 3.1, this theta = -3.1 -> true relative rotation is
+    +0.083 rad, NOT -6.2."""
+    cfg = _cfg()
+    n = cfg.point_sample_size
+    rng = np.random.default_rng(11)
+    wlh = np.array([1.8, 4.2, 1.6], np.float32)
+    prev_t, this_t = 3.1, -3.1
+    prev_box = _mk_box([10.0, -4.0, 0.5], prev_t, wlh)
+    this_box = _mk_box([10.4, -3.8, 0.55], this_t, wlh)
+
+    half = np.array([wlh[1], wlh[0], wlh[2]]) * cfg.bb_scale / 2 + cfg.bb_offset
+    local = (rng.random((n, 3)) * 2 - 1) * (half * 0.95)
+    R = prev_box.rotation_matrix
+    world_prev = local @ R.T + prev_box.center
+    world_this = (local * 0.9) @ R.T + prev_box.center
+
+    data = {
+        "prev_frame": _frame(world_prev, prev_box),
+        "this_frame": _frame(world_this, this_box),
+        "candidate_id": 0,
+    }
+    host = motion_processing(data, cfg)
+
+    raw = {
+        "prev_pts": jnp.asarray(world_prev, jnp.float32)[None],
+        "prev_valid": jnp.ones((1, n), bool),
+        "this_pts": jnp.asarray(world_this, jnp.float32)[None],
+        "this_valid": jnp.ones((1, n), bool),
+        "prev_box": jnp.asarray(
+            np.append(prev_box.center, prev_t), jnp.float32)[None],
+        "this_box": jnp.asarray(
+            np.append(this_box.center, this_t), jnp.float32)[None],
+        "wlh": jnp.asarray(wlh)[None],
+        "candidate_zero": jnp.asarray([True]),
+    }
+    dev = jax.jit(make_motion_builder(cfg))(raw, jax.random.PRNGKey(0))
+
+    # the un-wrapped difference would be -6.2; host wraps to ~+0.083
+    assert abs(float(host["motion_label"][3]) - 0.0832) < 1e-3
+    for k in ("box_label", "box_label_prev", "motion_label"):
+        np.testing.assert_allclose(
+            np.asarray(dev[k][0]), host[k], atol=2e-4, rtol=1e-4, err_msg=k
+        )
+
+
+def test_wrap_angle_range_and_values():
+    from open3dsot_tpu.geometry import rigid
+
+    t = jnp.asarray([0.0, np.pi, -np.pi, 6.25, -6.25, 2 * np.pi, 3.5, -3.5])
+    w = np.asarray(rigid.wrap_angle(t))
+    assert np.all(w > -np.pi - 1e-6) and np.all(w <= np.pi + 1e-6)
+    np.testing.assert_allclose(
+        w,
+        [0.0, np.pi, np.pi, 6.25 - 2 * np.pi, 2 * np.pi - 6.25, 0.0,
+         3.5 - 2 * np.pi, 2 * np.pi - 3.5],
+        atol=1e-6,
+    )
+
+
+def test_augment_wraps_box_theta():
+    """Flip augmentation adds pi to theta; the result must stay in
+    (-pi, pi] so downstream raw-subtraction label math can't go off by
+    2*pi."""
+    from open3dsot_tpu.data.device_sampler import _augment
+
+    rng = np.random.default_rng(7)
+    B = 16
+    pts = jnp.asarray(rng.standard_normal((B, 64, 3)) * 3, jnp.float32)
+    valid = jnp.ones((B, 64), bool)
+    # thetas right at the +/-pi cut so any flip without wrapping escapes
+    theta0 = np.where(np.arange(B) % 2 == 0, 3.05, -3.05)
+    box = jnp.asarray(
+        np.concatenate(
+            [rng.standard_normal((B, 3)).astype(np.float32),
+             theta0[:, None].astype(np.float32)], axis=1))
+    wlh = jnp.asarray(np.tile([2.0, 4.0, 2.0], (B, 1)), jnp.float32)
+    flipped = False
+    for s in range(4):
+        _, new_box = _augment(pts, valid, box, wlh, jax.random.PRNGKey(s))
+        th = np.asarray(new_box[:, 3])
+        assert np.all(th > -np.pi - 1e-6) and np.all(th <= np.pi + 1e-6)
+        flipped = flipped or np.any(np.abs(th - theta0) > 1.0)
+    assert flipped  # at least one flip branch actually exercised
