@@ -67,10 +67,15 @@ def matching_loss(config, batch: dict, output: dict) -> dict:
     objectness_label = (dist < 0.3).astype(jnp.float32)
     objectness_score = estimation_boxes[:, :, 4]
     objectness_mask = ((dist < 0.3) | (dist > 0.6)).astype(jnp.float32)
+    # Reference quirk preserved (base_model.py:150-153): the BCE is taken
+    # with the DEFAULT 'mean' reduction — a scalar — so the subsequent mask
+    # multiply/normalize reduces to scalar * sum(mask)/(sum(mask)+1e-6);
+    # the 0.3..0.6 dead band is effectively NOT excluded. Caught by the
+    # live-reference loss parity test (tests/test_reference_live_matching.py).
     loss_objective = bce_with_logits(
-        objectness_score, objectness_label, pos_weight=2.0, reduction="none"
+        objectness_score, objectness_label, pos_weight=2.0
     )
-    loss_objective = jnp.sum(loss_objective * objectness_mask) / (
+    loss_objective = loss_objective * jnp.sum(objectness_mask) / (
         jnp.sum(objectness_mask) + 1e-6
     )
     loss_box = smooth_l1(

@@ -95,7 +95,19 @@ def _install_stubs():
     pl = _stub("pytorch_lightning")
     if not hasattr(pl, "LightningModule"):
 
+        class _NoOpLogger:
+            def add_scalars(self, *a, **k):
+                pass
+
+        class _LoggerHandle:
+            experiment = _NoOpLogger()
+
         class LightningModule(torch.nn.Module):
+            # enough surface for training_step to run live (the reference
+            # logs via self.log and self.logger.experiment.add_scalars)
+            global_step = 0
+            logger = _LoggerHandle()
+
             def save_hyperparameters(self, *a, **k):
                 pass
 
@@ -154,14 +166,114 @@ def _install_stubs():
         pom.MultivariateGaussianDistribution = object
         pom.GeneralMixtureModel = object
 
-    # pointnet2 CUDA modules: import-only for models/backbone/pointnet.py
-    p2 = _stub("pointnet2")
-    p2u = _stub("pointnet2.utils")
-    p2m = _stub("pointnet2.utils.pointnet2_modules")
-    p2.utils = p2u
-    p2u.pointnet2_modules = p2m
-    if not hasattr(p2m, "PointnetSAModule"):
-        p2m.PointnetSAModule = torch.nn.Module
+    # pointnet2_ops._ext: WORKING CPU torch implementations of the CUDA op
+    # surface (same semantics as our golden models, ops/reference.py), so the
+    # ACTUAL reference pointnet2 modules / P2B / BAT run live on CPU
+    # (VERDICT r2, item 1). Wrapped in torch (not numpy) so autograd-facing
+    # ops stay differentiable through the reference Function wrappers.
+    _install_ext(torch)
+
+    # the reference hardcodes .cuda() on a few tensors
+    # (pointnet2_modules.py:56, base_model.py:151, m2track.py:172); torch
+    # here is CPU-only, so neutralize Tensor.cuda to identity. Test-process
+    # only; nothing in this repo calls .cuda().
+    if not getattr(torch.Tensor.cuda, "_live_stub", False):
+        def _cuda_noop(self, *a, **k):
+            return self
+
+        _cuda_noop._live_stub = True
+        torch.Tensor.cuda = _cuda_noop
+
+
+def _install_ext(torch):
+    """Register `pointnet2_ops._ext` with CPU torch implementations.
+
+    Exact CUDA-kernel semantics (erikwijmans/Pointnet2_PyTorch), as consumed
+    by /root/reference/pointnet2/utils/pointnet2_utils.py: FPS from index 0
+    with running min-distance argmax; ball_query returns the first nsample
+    strictly-in-radius indices in ascending order padded with the first
+    found (0 if none); grads scatter-add. Matches ops/reference.py goldens.
+    """
+    ops = _stub("pointnet2_ops")
+    if hasattr(ops, "_ext"):
+        return
+    ext = types.ModuleType("pointnet2_ops._ext")
+
+    def furthest_point_sampling(xyz, npoint):
+        from open3dsot_tpu.ops.reference import fps_ref
+
+        idx = fps_ref(xyz.detach().cpu().numpy().astype("float32"), npoint)
+        return torch.from_numpy(idx).to(torch.int32)
+
+    def gather_points(features, idx):
+        idx_l = idx.long().unsqueeze(1).expand(-1, features.size(1), -1)
+        return torch.gather(features, 2, idx_l)
+
+    def gather_points_grad(grad_out, idx, N):
+        B, C, _ = grad_out.shape
+        grad = torch.zeros(B, C, N, dtype=grad_out.dtype)
+        idx_l = idx.long().unsqueeze(1).expand(-1, C, -1)
+        return grad.scatter_add_(2, idx_l, grad_out)
+
+    def ball_query(new_xyz, xyz, radius, nsample):
+        # NOTE the _ext arg order is (new_xyz, xyz) — see the wrapper at
+        # pointnet2_utils.py:268
+        B, S, _ = new_xyz.shape
+        N = xyz.shape[1]
+        d2 = torch.sum((new_xyz.unsqueeze(2) - xyz.unsqueeze(1)) ** 2, dim=-1)
+        mask = d2 < radius * radius  # strict, CUDA semantics
+        ar = torch.arange(N).expand(B, S, N)
+        key = torch.where(mask, ar, torch.full_like(ar, N))
+        order = torch.argsort(key, dim=-1, stable=True)[:, :, :nsample]
+        if order.shape[-1] < nsample:  # N < nsample: pad (then first-fill)
+            pad = order[:, :, :1].expand(-1, -1, nsample - order.shape[-1])
+            order = torch.cat([order, pad], dim=-1)
+        count = mask.sum(-1, keepdim=True)  # (B, S, 1)
+        first = order[:, :, :1]
+        j = torch.arange(nsample).view(1, 1, -1)
+        out = torch.where(j < count, order, first)
+        out = torch.where(count > 0, out, torch.zeros_like(out))
+        return out.to(torch.int32)
+
+    def group_points(features, idx):
+        B, C, _ = features.shape
+        S, K = idx.shape[1], idx.shape[2]
+        idx_l = idx.long().reshape(B, 1, S * K).expand(-1, C, -1)
+        # clone: the autograd.Function wrapper forbids returning a view
+        # (QueryAndGroup modifies grouped_xyz in place)
+        return torch.gather(features, 2, idx_l).view(B, C, S, K).clone()
+
+    def group_points_grad(grad_out, idx, N):
+        B, C, S, K = grad_out.shape
+        grad = torch.zeros(B, C, N, dtype=grad_out.dtype)
+        idx_l = idx.long().reshape(B, 1, S * K).expand(-1, C, -1)
+        return grad.scatter_add_(2, idx_l, grad_out.reshape(B, C, S * K))
+
+    def three_nn(unknown, known):
+        d2 = torch.sum((unknown.unsqueeze(2) - known.unsqueeze(1)) ** 2, dim=-1)
+        dist2, idx = torch.topk(d2, 3, dim=-1, largest=False, sorted=True)
+        return dist2, idx.to(torch.int32)
+
+    def three_interpolate(features, idx, weight):
+        B, c, _ = features.shape
+        n = idx.shape[1]
+        idx_l = idx.long().reshape(B, 1, n * 3).expand(-1, c, -1)
+        neigh = torch.gather(features, 2, idx_l).view(B, c, n, 3)
+        return (neigh * weight.unsqueeze(1)).sum(-1)
+
+    def three_interpolate_grad(grad_out, idx, weight, m):
+        B, c, n = grad_out.shape
+        g = grad_out.unsqueeze(-1) * weight.unsqueeze(1)  # (B, c, n, 3)
+        grad = torch.zeros(B, c, m, dtype=grad_out.dtype)
+        idx_l = idx.long().reshape(B, 1, n * 3).expand(-1, c, -1)
+        return grad.scatter_add_(2, idx_l, g.reshape(B, c, n * 3))
+
+    for fn in (furthest_point_sampling, gather_points, gather_points_grad,
+               ball_query, group_points, group_points_grad, three_nn,
+               three_interpolate, three_interpolate_grad):
+        setattr(ext, fn.__name__, fn)
+    ops._ext = ext
+    sys.modules["pointnet2_ops._ext"] = ext
 
 
 _cache = None
@@ -185,7 +297,10 @@ def load_reference():
         "datasets": os.path.join(REF, "datasets"),
         "models": os.path.join(REF, "models"),
         "models.backbone": os.path.join(REF, "models", "backbone"),
+        "models.head": os.path.join(REF, "models", "head"),
         "utils": os.path.join(REF, "utils"),
+        "pointnet2": os.path.join(REF, "pointnet2"),
+        "pointnet2.utils": os.path.join(REF, "pointnet2", "utils"),
     }
     for name, path in pkg_dirs.items():
         shadowed[name] = sys.modules.get(name)
@@ -201,9 +316,16 @@ def load_reference():
             "searchspace": importlib.import_module("datasets.searchspace"),
             "sampler": importlib.import_module("datasets.sampler"),
             "metrics": importlib.import_module("utils.metrics"),
+            # the LIVE pointnet2 stack, running on the CPU _ext stubs
+            "pointnet2_utils": importlib.import_module(
+                "pointnet2.utils.pointnet2_utils"),
+            "pointnet2_modules": importlib.import_module(
+                "pointnet2.utils.pointnet2_modules"),
             "ref_pointnet": importlib.import_module("models.backbone.pointnet"),
             "base_model": importlib.import_module("models.base_model"),
             "m2track": importlib.import_module("models.m2track"),
+            "p2b": importlib.import_module("models.p2b"),
+            "bat": importlib.import_module("models.bat"),
         }
         from easydict import EasyDict
 
