@@ -103,10 +103,13 @@ def _install_stubs():
             experiment = _NoOpLogger()
 
         class LightningModule(torch.nn.Module):
-            # enough surface for training_step to run live (the reference
-            # logs via self.log and self.logger.experiment.add_scalars)
+            # enough surface for training_step / evaluate_one_sequence to
+            # run live (the reference logs via self.log and
+            # self.logger.experiment.add_scalars, and builds eval inputs on
+            # self.device)
             global_step = 0
             logger = _LoggerHandle()
+            device = torch.device("cpu")
 
             def save_hyperparameters(self, *a, **k):
                 pass
@@ -147,16 +150,76 @@ def _install_stubs():
             else x
         )
 
-    # shapely.geometry.Polygon: import-only (estimateOverlap is not exercised
-    # through the live reference; our IoU has its own golden tests)
+    # shapely.geometry.Polygon: working CONVEX stub for the surface the
+    # reference metrics touch (Polygon(pts).intersection(o).area /
+    # .union(o).area, utils/metrics.py:36-72). Box footprints are convex
+    # quads, so Sutherland-Hodgman clipping + shoelace area is exact; the
+    # union is only ever read through .area (= A + B - inter for convex
+    # overlap accounting, which is what IoU consumes).
     sh = _stub("shapely")
     shg = _stub("shapely.geometry")
     sh.geometry = shg
-    if not hasattr(shg, "Polygon"):
+    if not hasattr(shg, "Polygon") or getattr(
+        getattr(shg, "Polygon", None), "_raises", False
+    ):
 
-        class Polygon:  # pragma: no cover - guard against accidental use
-            def __init__(self, *a, **k):
-                raise NotImplementedError("shapely stub: not available in tests")
+        class _Area:
+            def __init__(self, area):
+                self.area = float(area)
+
+        def _clip(subject, clip):
+            """Sutherland-Hodgman: subject clipped by CONVEX clip polygon."""
+            sign = 1.0 if _signed_area(clip) > 0 else -1.0
+            out = list(subject)
+            n = len(clip)
+            for i in range(n):
+                a, b = clip[i], clip[(i + 1) % n]
+                if not out:
+                    return []
+                inp, out = out, []
+                ex, ey = b[0] - a[0], b[1] - a[1]
+
+                def inside(p):
+                    return sign * (ex * (p[1] - a[1]) - ey * (p[0] - a[0])) >= 0
+
+                def isect(p, q):
+                    dx, dy = q[0] - p[0], q[1] - p[1]
+                    den = ex * dy - ey * dx  # cross(e, q-p)
+                    if den == 0:
+                        return q
+                    num = ex * (p[1] - a[1]) - ey * (p[0] - a[0])  # cross(e, p-a)
+                    t = -num / den
+                    return (p[0] + t * dx, p[1] + t * dy)
+
+                s = inp[-1]
+                for p in inp:
+                    if inside(p):
+                        if not inside(s):
+                            out.append(isect(s, p))
+                        out.append(p)
+                    elif inside(s):
+                        out.append(isect(s, p))
+                    s = p
+            return out
+
+        def _signed_area(pts):
+            x = np.asarray([p[0] for p in pts])
+            y = np.asarray([p[1] for p in pts])
+            return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+        class Polygon:
+            def __init__(self, pts):
+                self._pts = [(float(p[0]), float(p[1])) for p in pts]
+                self.area = abs(_signed_area(self._pts))
+
+            def intersection(self, other):
+                inter = _clip(self._pts, other._pts)
+                return _Area(abs(_signed_area(inter)) if len(inter) >= 3 else 0.0)
+
+            def union(self, other):
+                return _Area(
+                    self.area + other.area - self.intersection(other).area
+                )
 
         shg.Polygon = Polygon
 

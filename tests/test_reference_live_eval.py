@@ -1,0 +1,164 @@
+"""Live trajectory-level eval parity (VERDICT r2, item 2).
+
+Runs the ACTUAL reference `BaseModel.evaluate_one_sequence`
+(/root/reference/models/base_model.py:59-86) end-to-end on synthetic
+tracklets — template/search-area generation, seed=1 regularize, forward,
+argmax proposal, getOffsetBB composition, overlap/accuracy scoring — and
+asserts our host Tracker (open3dsot_tpu/tracking/eval.py) produces the
+IDENTICAL box trajectory, per-frame IoU/distance lists, and final
+Success/Precision. This is the closest thing to checkpoint-parity possible
+without real data: any drift in any piece of the composed eval pipeline
+fails it.
+
+Covers all three model families; the matching models (P2B/BAT) run live on
+the CPU `pointnet2_ops._ext` implementations installed by
+tests/_reference_live.py. Weights are randomly initialized with randomized
+BN statistics and shipped to our side through the torch-ckpt importer — the
+tracks are untrained-garbage, but parity is about the computation, not the
+quality.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+
+from tests._reference_live import load_reference  # noqa: E402
+
+REF = load_reference()
+pytestmark = pytest.mark.skipif(REF is None, reason="reference repo unavailable")
+
+from open3dsot_tpu.config import make_config  # noqa: E402
+from open3dsot_tpu.geometry.data_classes import Box as OurBox  # noqa: E402
+from open3dsot_tpu.geometry.data_classes import PointCloud as OurPC  # noqa: E402
+from open3dsot_tpu.geometry.quaternion import Quaternion  # noqa: E402
+from open3dsot_tpu.import_torch import import_checkpoint  # noqa: E402
+from open3dsot_tpu.models import get_model  # noqa: E402
+from open3dsot_tpu.tracking.eval import Tracker  # noqa: E402
+from open3dsot_tpu.utils.metrics import Precision, Success  # noqa: E402
+
+
+def _make_tracklet(rng, n_frames=5, n_points=220, wlh=(1.8, 4.2, 1.6)):
+    """Paired (reference, ours) synthetic tracklet: a yawing box drifting
+    through clutter, ~60 in-box surface points per frame."""
+    ref_seq, our_seq = [], []
+    center = np.array([4.0, 2.0, 0.5])
+    theta = 0.4
+    for t in range(n_frames):
+        center = center + np.array([0.35, -0.2, 0.02])
+        theta += 0.05
+        q = Quaternion(axis=[0, 0, 1], radians=theta)
+        # in-box points (local frame, scaled to the box)
+        n_in = 60
+        local = (rng.random((n_in, 3)) * 2 - 1) * (
+            np.array([wlh[1], wlh[0], wlh[2]]) * 0.45
+        )
+        R = np.array(
+            [[np.cos(theta), -np.sin(theta), 0],
+             [np.sin(theta), np.cos(theta), 0],
+             [0, 0, 1]]
+        )
+        inside = local @ R.T + center
+        clutter = rng.normal(scale=4.0, size=(n_points - n_in, 3)) + center
+        pts = np.concatenate([inside, clutter], axis=0).T  # (3, N)
+        ref_seq.append({
+            "pc": REF["data_classes"].PointCloud(pts.copy()),
+            "3d_bbox": REF["data_classes"].Box(center.tolist(), list(wlh), q),
+        })
+        our_seq.append({
+            "pc": OurPC(pts.copy()),
+            "3d_bbox": OurBox(center.tolist(), list(wlh), q),
+        })
+    return ref_seq, our_seq
+
+
+def _assert_trajectory_equal(ref_result, our_result, atol=5e-3):
+    ious_ref, dists_ref, bbs_ref = ref_result
+    ious_our, dists_our, bbs_our = our_result
+    assert len(bbs_ref) == len(bbs_our)
+    for t, (rb, ob) in enumerate(zip(bbs_ref, bbs_our)):
+        np.testing.assert_allclose(rb.center, ob.center, atol=atol,
+                                   err_msg=f"frame {t} center")
+        np.testing.assert_allclose(rb.rotation_matrix, ob.rotation_matrix,
+                                   atol=atol, err_msg=f"frame {t} rotation")
+    np.testing.assert_allclose(ious_our, ious_ref, atol=atol)
+    np.testing.assert_allclose(dists_our, dists_ref, atol=atol)
+    # final metrics through our count-vector AUC on both lists. An IoU that
+    # lands within float tolerance of a 0.05 threshold can flip one count
+    # bucket (AUC granularity 100/(n_frames*20)); the AUC math itself is
+    # live-tested exactly in test_reference_live_parity — allow one bucket.
+    bucket = 100.0 / (len(ious_ref) * 20) + 1e-6
+    s_ref, p_ref, s_our, p_our = Success(), Precision(), Success(), Precision()
+    s_ref.update(ious_ref), p_ref.update(dists_ref)
+    s_our.update(ious_our), p_our.update(dists_our)
+    np.testing.assert_allclose(s_our.compute(), s_ref.compute(), atol=bucket)
+    np.testing.assert_allclose(p_our.compute(), p_ref.compute(), atol=bucket)
+
+
+def _eval_cfg_m2():
+    return dict(
+        net_model="m2track", box_aware=True, point_sample_size=64,
+        bb_scale=1.25, bb_offset=2.0, degrees=False, use_z=True,
+        limit_box=False, IoU_space=3, up_axis=[0, 0, 1],
+    )
+
+
+def _eval_cfg_matching(net_model):
+    cfg = dict(
+        net_model=net_model,
+        use_fps=(net_model == "bat"),
+        normalize_xyz=False,
+        feature_channel=32, hidden_channel=32, out_channel=32,
+        vote_channel=32, num_proposal=16,
+        template_size=64, search_size=128,
+        model_bb_scale=1.25, model_bb_offset=0.0,
+        search_bb_scale=1.25, search_bb_offset=2.0,
+        shape_aggregation="firstandprevious", reference_BB="previous_result",
+        degrees=True, use_z=False, limit_box=False,
+        IoU_space=3, up_axis=[0, 0, 1],
+    )
+    if net_model == "bat":
+        cfg.update(k=4, use_search_bc=False, use_search_feature=False,
+                   bc_channel=9)
+    return cfg
+
+
+def _randomize_bn(model):
+    for m in model.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            with torch.no_grad():
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.8, 1.2)
+
+
+@pytest.mark.parametrize("net_model", ["m2track", "p2b", "bat"])
+def test_live_trajectory_parity(net_model):
+    cfg_dict = _eval_cfg_m2() if net_model == "m2track" else _eval_cfg_matching(net_model)
+    torch.manual_seed(3)
+    ref_cls = {
+        "m2track": lambda c: REF["m2track"].M2TRACK(c),
+        "p2b": lambda c: REF["p2b"].P2B(c),
+        "bat": lambda c: REF["bat"].BAT(c),
+    }[net_model]
+    ref_model = ref_cls(REF["EasyDict"](cfg_dict))
+    _randomize_bn(ref_model)
+    ref_model.eval()
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    our_cfg = make_config(cfg_dict)
+    model = get_model(net_model)(our_cfg)
+    variables = import_checkpoint(sd, our_cfg, model=model)
+
+    rng = np.random.default_rng(17)
+    ref_seq, our_seq = _make_tracklet(rng)
+
+    with torch.no_grad():
+        ref_result = ref_model.evaluate_one_sequence(ref_seq)
+
+    with jax.default_matmul_precision("highest"):
+        tracker = Tracker(model, variables)
+        our_result = tracker.evaluate_one_sequence(our_seq, our_cfg)
+
+    _assert_trajectory_equal(ref_result, our_result)
