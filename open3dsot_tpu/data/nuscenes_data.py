@@ -90,25 +90,20 @@ class NuScenesTables:
         return self._tables[table]
 
 
-def _scene_splits(split: str) -> list:
-    try:
-        from nuscenes.utils.splits import create_splits_scenes  # type: ignore
-
-        return create_splits_scenes()[split]
-    except ImportError:
-        pass
-    raise RuntimeError(
-        "nuscenes-devkit not installed and no splits.json found; provide "
-        "{dataroot}/splits.json mapping split names to scene-name lists"
-    )
-
-
 def _load_scene_splits(dataroot: str, split: str) -> list:
+    """Scene names for a split. dataroot/splits.json (user override) wins;
+    otherwise the vendored in-tree constants / devkit / error chain in
+    data/nuscenes_splits.py (mini splits always work devkit-free; the full
+    v1.0 lists after a one-time `scripts/make_nuscenes_splits.py` run)."""
     splits_path = os.path.join(dataroot, "splits.json")
     if os.path.isfile(splits_path):
         with open(splits_path) as f:
-            return json.load(f)[split]
-    return _scene_splits(split)
+            table = json.load(f)
+        if split in table:
+            return table[split]
+    from open3dsot_tpu.data.nuscenes_splits import get_split_scenes
+
+    return get_split_scenes(split, dataroot=dataroot)
 
 
 class NuScenesDataset(BaseDataset):

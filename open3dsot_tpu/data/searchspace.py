@@ -1,9 +1,9 @@
 """Offset-sampling search spaces (reference datasets/searchspace.py).
 
 KalmanFiltering is the one used in training (sampler.py:53); the others are
-kept for API completeness. The pomegranate-based GMM is provided as a
-numpy/EM-free stub that degrades to the particle filter, since pomegranate is
-not a dependency of this framework.
+kept for API completeness. GaussianMixtureModel is a real weighted-EM
+mixture implemented in numpy (pomegranate-free), matching the reference's
+fit/score/addData semantics (reference searchspace.py:110-187).
 """
 
 from __future__ import annotations

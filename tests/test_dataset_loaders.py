@@ -255,3 +255,56 @@ class TestNuScenes:
         ds = NuScenesDataset(nusc_root, split="mini_train", category_name="Car",
                              version="v1.0-mini", preloading=False, min_points=100)
         assert ds.get_num_tracklets() == 0
+
+
+class TestNuScenesSplits:
+    """Vendored devkit-free split constants (data/nuscenes_splits.py)."""
+
+    def test_mini_splits_vendored(self):
+        from open3dsot_tpu.data.nuscenes_splits import get_split_scenes
+
+        mt = get_split_scenes("mini_train")
+        mv = get_split_scenes("mini_val")
+        assert len(mt) == 8 and len(mv) == 2
+        assert "scene-0061" in mt and "scene-0103" in mv
+        assert not set(mt) & set(mv)
+
+    def test_full_json_vendoring(self, tmp_path, monkeypatch):
+        from open3dsot_tpu.data import nuscenes_splits as ns
+
+        full = tmp_path / "nuscenes_splits_full.json"
+        with open(full, "w") as f:
+            json.dump({"train_detect": ["scene-0002"],
+                       "train_track": ["scene-0003"],
+                       "val": ["scene-0004"]}, f)
+        monkeypatch.setattr(ns, "_FULL_JSON", str(full))
+        assert ns.get_split_scenes("val") == ["scene-0004"]
+        assert ns.get_split_scenes("train_track") == ["scene-0003"]
+        # devkit semantics: train = train_detect + train_track
+        assert ns.get_split_scenes("train") == ["scene-0002", "scene-0003"]
+
+    def test_unknown_split_raises_with_script_pointer(self):
+        from open3dsot_tpu.data.nuscenes_splits import get_split_scenes
+
+        with pytest.raises(RuntimeError, match="make_nuscenes_splits"):
+            get_split_scenes("val")  # full lists not vendored in this checkout
+
+    def test_loader_devkit_free_no_splits_json(self, nusc_root):
+        """NuScenesDataset resolves the mini split from the in-tree
+        constants with no devkit installed and no splits.json on disk."""
+        import os
+
+        from open3dsot_tpu.data.nuscenes_data import NuScenesDataset
+
+        os.remove(os.path.join(nusc_root, "splits.json"))
+        # put the fixture scene in the REAL vendored mini_train
+        scene_path = os.path.join(nusc_root, "v1.0-mini", "scene.json")
+        with open(scene_path) as f:
+            scenes = json.load(f)
+        scenes[0]["name"] = "scene-0061"
+        with open(scene_path, "w") as f:
+            json.dump(scenes, f)
+
+        ds = NuScenesDataset(nusc_root, split="mini_train", category_name="Car",
+                             version="v1.0-mini", preloading=False, min_points=1)
+        assert ds.get_num_tracklets() == 1
