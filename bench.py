@@ -154,6 +154,69 @@ def main():
     single = bench_case(slice(0, 1), passes=10)
     batched = bench_case(slice(0, B), passes=5)
 
+    # --- BAT fused matching-tracker scan row (regression guard for the
+    # fused SA kernels + matching scan path; same overlapped-dispatch
+    # methodology as the M2 rows) ---
+    bat_fps = None
+    try:
+        from open3dsot_tpu.tracking.scan_matching import MatchScanTracker
+
+        bat_cfg = make_config(dict(
+            dataset="synthetic", net_model="bat", category_name="Car",
+            template_size=512, search_size=1024, point_sample_size=1024,
+            feature_channel=256, hidden_channel=256, out_channel=256,
+            vote_channel=256, num_proposal=64, k=4, bc_channel=9,
+            box_aware=True, use_fps=True, normalize_xyz=False, degrees=True,
+            use_z=False, limit_box=False, IoU_space=3,
+            model_bb_scale=1.25, model_bb_offset=0.0,
+            search_bb_scale=1.25, search_bb_offset=2.0,
+            shape_aggregation="firstandprevious",
+            reference_BB="previous_result",
+            bb_scale=1.25, bb_offset=2.0,
+            train_type="train_siamese",
+            syn_num_tracklets=8, syn_tracklet_len=64, seed=7,
+        ))
+        bat = get_model("bat")(bat_cfg)
+        bat_vars = init_variables(bat, jax.random.PRNGKey(0))
+        bat_tracker = MatchScanTracker(bat, bat_vars, bat_cfg,
+                                       max_points=1024, frame_bucket=64)
+        bat_seqs = [test_sampler[i] for i in range(B)]
+        # pad once on the host, then issue overlapped async _track dispatches
+        # (track_batch fetches synchronously — that would measure the tunnel)
+        from open3dsot_tpu.geometry import points_utils as _pu
+
+        T_bat = max(bat_tracker._bucket_len(len(s)) for s in bat_seqs)
+        P, P1 = bat_tracker.max_points, bat_tracker.first_crop_points
+        bpts = np.zeros((B, T_bat, P, 3), np.float32)
+        bval = np.zeros((B, T_bat, P), bool)
+        bfirst = np.zeros((B, P1, 3), np.float32)
+        bfv = np.zeros((B, P1), bool)
+        bwlh = np.zeros((B, 3), np.float32)
+        binit = np.zeros((B, 4), np.float32)
+        for b, seq in enumerate(bat_seqs):
+            fb = seq[0]["3d_bbox"]
+            bwlh[b] = fb.wlh
+            binit[b] = np.append(
+                fb.center, fb.orientation.radians * fb.orientation.axis[-1])
+            crop, _ = _pu.cropAndCenterPC(
+                seq[0]["pc"], fb, scale=bat_cfg.model_bb_scale,
+                offset=bat_cfg.model_bb_offset)
+            fp = crop.points.T.astype(np.float32)[:P1]
+            bfirst[b, : len(fp)] = fp
+            bfv[b, : len(fp)] = True
+            for t, frame in enumerate(seq):
+                p = frame["pc"].points.T.astype(np.float32)[:P]
+                bpts[b, t, : len(p)] = p
+                bval[b, t, : len(p)] = True
+        bat_args = (bat_tracker.variables, jnp.asarray(bpts),
+                    jnp.asarray(bval), jnp.asarray(bwlh), jnp.asarray(binit),
+                    jnp.asarray(bfirst), jnp.asarray(bfv))
+        bat_frames = sum(len(s) - 1 for s in bat_seqs)
+        bat_fps, _ = _timed_fps(bat_tracker._track, bat_args, bat_frames,
+                                passes=5)
+    except Exception as e:  # never fail the headline on the extra row
+        print(f"bat row skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
     # physical sanity gate: refuse to print impossible numbers
     for name, case in (("single_stream", single), ("batched", batched)):
         if case["implied_tflops"] * 1e12 > peak:
@@ -178,6 +241,14 @@ def main():
                 "single_stream_implied_tflops": round(single["implied_tflops"], 3),
                 "batched_implied_tflops": round(batched["implied_tflops"], 3),
                 "batched_mfu": round(batched["mfu"], 4) if batched["mfu"] is not None else None,
+                "bat_fused_scan_fps_8_tracklets": (
+                    round(bat_fps, 2) if bat_fps is not None else None),
+                # all FPS fields here use OVERLAPPED dispatch (passes issued
+                # back-to-back; the ~30 ms tunnel latency is pipelined away).
+                # benchmarks/run_all.py measures the same pipelines with ONE
+                # fenced dispatch at a time — those numbers pay the tunnel
+                # per dispatch and are lower bounds (see BENCH_DETAILS.md).
+                "dispatch_model": "overlapped_pipeline",
                 "device": jax.devices()[0].device_kind,
             }
         )

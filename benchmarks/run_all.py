@@ -350,10 +350,22 @@ def main():
         "fenced (np.asarray on outputs or in-graph chained loops with scalar "
         "fetch); v5e bf16 peak is ~197 TFLOP/s. TFLOP/s columns come from "
         "XLA cost analysis, which counts Pallas custom calls as zero FLOPs "
-        "— rows using the fused kernels understate their real TFLOP/s. The "
-        "scan-threaded steady-state step (benchmarks/profile_bat.py "
-        "methodology) measures the fused BAT step at 11.2 ms f32 / 7.3 ms "
-        "bf16 (2,189 samples/s) at batch 16.",
+        "— rows using the fused kernels understate their real TFLOP/s.",
+        "",
+        "**Dispatch model.** Every eval/FPS row in THIS table issues ONE "
+        "dispatch at a time and fences it (`np.asarray` on the output "
+        "before the next dispatch): each pass pays the remote tunnel's "
+        "~30 ms launch latency, so these are conservative lower bounds — "
+        "the methodology a single latency-sensitive client sees. The "
+        "driver's `bench.py` measures the SAME compiled pipelines with "
+        "OVERLAPPED dispatches (several passes in flight; the tunnel "
+        "latency pipelines away), which is the steady-state throughput a "
+        "saturated server sees. That is why e.g. the 8-tracklet batched "
+        "scan appears here at ~3,000 frames/s but in BENCH_r*.json at "
+        "~14,000 frames/s: identical executable, per-dispatch-fenced vs "
+        "pipelined dispatch. Train-step rows use in-graph `lax.scan` "
+        "chaining (K steps per dispatch, scalar fetch) and are "
+        "dispatch-model-independent.",
         "",
         "| Benchmark | Result |",
         "|---|---|",

@@ -33,6 +33,7 @@ class M2TrackNet(nn.Module):
     use_motion_cls: bool = True
     use_second_stage: bool = True
     use_prev_refinement: bool = True
+    fused_eval: bool = False  # fused SegPointNet/MiniPointNet eval chains
     dtype: Any = None  # bf16 compute; params/BN stats/box math stay f32
 
     @nn.compact
@@ -55,6 +56,7 @@ class M2TrackNet(nn.Module):
             per_point_mlp1=[64, 64, 64, 128, 1024],
             per_point_mlp2=[512, 256, 128, 128],
             output_size=2 + bc_dim,
+            fused_eval=self.fused_eval,
             dtype=self.dtype,
             name="seg_pointnet",
         )(x, train=train).astype(jnp.float32)
@@ -73,6 +75,7 @@ class M2TrackNet(nn.Module):
             per_point_mlp=[64, 128, 256, 512],
             hidden_mlp=[512, 256],
             output_size=-1,
+            fused_eval=self.fused_eval,
             dtype=self.dtype,
             name="mini_pointnet",
         )(mask_points, train=train)  # (B, 256)
@@ -119,6 +122,7 @@ class M2TrackNet(nn.Module):
                 per_point_mlp=[64, 128, 256, 512],
                 hidden_mlp=[512, 256],
                 output_size=-1,
+                fused_eval=self.fused_eval,
                 dtype=self.dtype,
                 name="mini_pointnet2",
             )(mask_xyz_t01, train=train)
@@ -251,11 +255,14 @@ class M2TrackModel:
 
     def __init__(self, config):
         self.config = config
+        from open3dsot_tpu.models.matching_base import _fused_chain
+
         self.net = M2TrackNet(
             box_aware=getattr(config, "box_aware", False),
             use_motion_cls=getattr(config, "use_motion_cls", True),
             use_second_stage=getattr(config, "use_second_stage", True),
             use_prev_refinement=getattr(config, "use_prev_refinement", True),
+            fused_eval=_fused_chain(config),
             dtype=jnp.bfloat16 if getattr(config, "bf16", False) else None,
         )
 

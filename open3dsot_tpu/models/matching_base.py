@@ -21,29 +21,47 @@ def _compute_dtype(config):
 
 
 def _fused_sa(config) -> bool:
-    """Resolve config.fused_sa: 'auto' -> fused SA eval kernel on a
-    SINGLE-device TPU backend only. On CPU the Pallas kernel would run
-    interpreted (far slower than XLA); on a multi-chip backend the emitted
-    tpu_custom_call has no GSPMD partitioning rule, so a sharded jit would
-    replicate the full batch per device — auto stays off there until the
-    kernels get a shard_map wrapper. True/False force it."""
+    """Resolve config.fused_sa: 'auto' -> fused SA eval kernel on any TPU
+    backend. On CPU the Pallas kernel would run interpreted (far slower
+    than XLA), so auto stays off there. The kernels carry a GSPMD
+    batch-partitioning rule (ops/partition.py), so sharded jit over a
+    multi-chip mesh runs them per-shard — one code path for any device
+    count, like the reference's DDP (main.py:82). True/False force it."""
     v = getattr(config, "fused_sa", "auto")
     if v in ("auto", None):
         import jax
 
-        return jax.default_backend() == "tpu" and jax.device_count() == 1
+        return jax.default_backend() == "tpu"
     return bool(v)
 
 
 def _fused_sa_train(config) -> bool:
     """Resolve config.fused_sa_train: 'auto' -> fused training-mode SA
-    kernels (ops/sa_fused_train.py) on a single-device TPU backend only,
-    same rationale as _fused_sa."""
+    kernels (ops/sa_fused_train.py) on any TPU backend, same rationale as
+    _fused_sa. Batch statistics stay EXACTLY global-batch under sharding:
+    the pass kernels emit per-batch-element partial sums and the GSPMD
+    partitioner inserts the allreduce for the jnp-level sum."""
     v = getattr(config, "fused_sa_train", "auto")
     if v in ("auto", None):
         import jax
 
-        return jax.default_backend() == "tpu" and jax.device_count() == 1
+        return jax.default_backend() == "tpu"
+    return bool(v)
+
+
+def _fused_chain(config) -> bool:
+    """Resolve config.fused_chain: fused eval-mode PointNet chains
+    (ops/chain_fused.py: SegPointNet / MiniPointNet encoders). Default OFF:
+    a measured NEGATIVE result on v5e (VERDICT r2 item 10) — the M2 scan
+    tracker runs SLOWER with them (single-stream 1968 -> 1769 frames/s
+    fully fused / 1921 SegPointNet-only; batched-8 14,065 -> 13,765 /
+    13,174), i.e. XLA's own fusion of the dense chains already beats the
+    Pallas two-pass structure at these shapes, unlike the gather-bound SA
+    layers where the fused kernels win 1.4-2x. Kept behind the flag (with
+    golden + GSPMD tests) for future shapes where the trade may flip."""
+    v = getattr(config, "fused_chain", False)
+    if v in ("auto", None):
+        return False
     return bool(v)
 
 

@@ -37,13 +37,30 @@ class MiniPointNet(nn.Module):
     per_point_mlp: Sequence[int]
     hidden_mlp: Sequence[int]
     output_size: int = 0  # <=0: no final FC
+    fused_eval: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """x (B, N, C) -> (B, hidden_mlp[-1] or output_size)."""
-        x = MLP(self.per_point_mlp, dtype=self.dtype, name="per_point")(x, train=train)
-        x = jnp.max(x, axis=1)  # global max-pool over points
+        if self.fused_eval and not train and not self.is_initializing():
+            # fused per-point chain + max-pool (ops/chain_fused.py): the
+            # wide intermediates never leave VMEM; the tiny per-batch
+            # hidden MLP stays in XLA
+            from open3dsot_tpu.ops.chain_fused import fused_pointnet_encoder
+
+            v = self.variables
+            n = len(self.per_point_mlp)
+            _, x = fused_pointnet_encoder(
+                x,
+                [v["params"]["per_point"][f"layer{i}"] for i in range(n)],
+                [v["batch_stats"]["per_point"][f"layer{i}"] for i in range(n)],
+                tap_at=None, dtype=self.dtype,
+            )
+        else:
+            x = MLP(self.per_point_mlp, dtype=self.dtype, name="per_point")(
+                x, train=train)
+            x = jnp.max(x, axis=1)  # global max-pool over points
         x = MLP(self.hidden_mlp, dtype=self.dtype, name="hidden")(x, train=train)
         if self.output_size > 0:
             x = nn.Dense(self.output_size, dtype=self.dtype, name="fc")(x)
@@ -54,11 +71,42 @@ class SegPointNet(nn.Module):
     per_point_mlp1: Sequence[int]
     per_point_mlp2: Sequence[int]
     output_size: int = 0
+    fused_eval: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """x (B, N, C) -> per-point logits (B, N, output_size)."""
+        if (
+            self.fused_eval
+            and not train
+            and not self.is_initializing()
+            and self.output_size > 0
+        ):
+            # Two fused kernels (ops/chain_fused.py): mlp1 chain + pooled
+            # max with only the layer-2 tap in HBM, then
+            # concat/mlp2/head per tile. Eval only (training needs the
+            # per-layer batch statistics barrier).
+            from open3dsot_tpu.ops.chain_fused import (
+                fused_pointnet_encoder,
+                fused_seg_head,
+            )
+
+            v = self.variables
+            p, st = v["params"], v["batch_stats"]
+            n1, n2 = len(self.per_point_mlp1), len(self.per_point_mlp2)
+            tap, pooled = fused_pointnet_encoder(
+                x,
+                [p[f"mlp1_{i}"]["layer0"] for i in range(n1)],
+                [st[f"mlp1_{i}"]["layer0"] for i in range(n1)],
+                tap_at=1, dtype=self.dtype,
+            )
+            return fused_seg_head(
+                tap, pooled,
+                [p[f"mlp2_{i}"]["layer0"] for i in range(n2)],
+                [st[f"mlp2_{i}"]["layer0"] for i in range(n2)],
+                p["fc"], dtype=self.dtype,
+            )
         second_layer_out = None
         for i, ch in enumerate(self.per_point_mlp1):
             x = MLP([ch], dtype=self.dtype, name=f"mlp1_{i}")(x, train=train)

@@ -242,7 +242,8 @@ def fused_sa_apply(
     common_args = (a, ct, w2, b2[None, :], w3, b3[None, :])
     out_spec = pl.BlockSpec((1, ts, c3), lambda b, s: (b, s, 0),
                             memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((B, s_pad, c3), cdt)
+
+    from open3dsot_tpu.ops.partition import batch_partitioned
 
     if idx is None:
         # ball query fused into the kernel: ship transposed coordinates
@@ -254,19 +255,30 @@ def fused_sa_apply(
             # outputs are sliced off below
             ctr = jnp.pad(ctr, ((0, 0), (0, s_pad - S), (0, 0)),
                           constant_values=1e9)
-        out = pl.pallas_call(
-            lambda *refs: _sa_bq_kernel(K, cdt, radius * radius, *refs),
-            out_shape=out_shape,
-            grid=(B, n_tiles),
-            in_specs=[
-                pl.BlockSpec((1, 3, N), lambda b, s: (b, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ts, 3), lambda b, s: (b, s, 0),
-                             memory_space=pltpu.VMEM),
-            ] + common_specs,
-            out_specs=out_spec,
-            interpret=interpret,
-        )(xyzt, ctr, *common_args)
+
+        def bq_call(xyzt, ctr, a, ct, w2, b2, w3, b3):
+            # per-shard lowering under GSPMD: B comes from the input shape
+            B_l = xyzt.shape[0]
+            return pl.pallas_call(
+                lambda *refs: _sa_bq_kernel(K, cdt, radius * radius, *refs),
+                out_shape=jax.ShapeDtypeStruct((B_l, s_pad, c3), cdt),
+                grid=(B_l, n_tiles),
+                in_specs=[
+                    pl.BlockSpec((1, 3, N), lambda b, s: (b, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, ts, 3), lambda b, s: (b, s, 0),
+                                 memory_space=pltpu.VMEM),
+                ] + common_specs,
+                out_specs=out_spec,
+                interpret=interpret,
+            )(xyzt, ctr, a, ct, w2, b2, w3, b3)
+
+        call = batch_partitioned(
+            bq_call,
+            "b d n, b s d, b n c, b s c, m h, u h, h r, v r -> b s r",
+            batched=(0, 1, 2, 3),
+        )
+        out = call(xyzt, ctr, *common_args)
         return jax.lax.stop_gradient(out[:, :S])
 
     if s_pad != S:
@@ -274,15 +286,25 @@ def fused_sa_apply(
     # (B, tiles, ts, K): Mosaic checks the LAST TWO dims of each block
     # against divisibility-or-full-dim; (ts, K) blocks match the array dims
     idx_flat = idx.reshape(B, n_tiles, ts, K).astype(jnp.int32)
-    out = pl.pallas_call(
-        lambda *refs: _sa_kernel(K, cdt, *refs),
-        out_shape=out_shape,
-        grid=(B, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, 1, ts, K), lambda b, s: (b, s, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ] + common_specs,
-        out_specs=out_spec,
-        interpret=interpret,
-    )(idx_flat, *common_args)
+
+    def idx_call(idx_flat, a, ct, w2, b2, w3, b3):
+        B_l = idx_flat.shape[0]
+        return pl.pallas_call(
+            lambda *refs: _sa_kernel(K, cdt, *refs),
+            out_shape=jax.ShapeDtypeStruct((B_l, s_pad, c3), cdt),
+            grid=(B_l, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, 1, ts, K), lambda b, s: (b, s, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + common_specs,
+            out_specs=out_spec,
+            interpret=interpret,
+        )(idx_flat, a, ct, w2, b2, w3, b3)
+
+    call = batch_partitioned(
+        idx_call,
+        "b t q k, b n c, b s c, m h, u h, h r, v r -> b s r",
+        batched=(0, 1, 2),
+    )
+    out = call(idx_flat, *common_args)
     return jax.lax.stop_gradient(out[:, :S])

@@ -136,3 +136,46 @@ def test_idx_kernel_matches_bq_fused_kernel():
     np.testing.assert_allclose(
         np.asarray(out_bq), np.asarray(out_idx), rtol=1e-5, atol=1e-5
     )
+
+
+def test_fused_eval_gspmd_sharded_matches_unsharded():
+    """The eval kernels carry a GSPMD batch-partitioning rule
+    (ops/partition.py): a jit with NamedSharding inputs over the 8-device
+    mesh must produce bit-identical outputs to the single-device run, for
+    both kernel variants, with no batch all-gather."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from open3dsot_tpu.ops import ball_query
+    from open3dsot_tpu.ops.sa_fused import fused_sa_apply
+
+    rng = np.random.default_rng(7)
+    B, N, S, K, C = 8, 64, 16, 8, 12
+    xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    new_xyz = xyz[:, :S]
+    sa = SetAbstraction(mlp=[16, 16, 24], radius=0.8, nsample=K, use_fps=False)
+    variables = sa.init(jax.random.PRNGKey(0), xyz, feats, S, train=False)
+    variables = _randomized_bn_vars(variables, rng)
+    mlp_p = variables["params"]["mlp_shared"]
+    mlp_s = variables["batch_stats"]["mlp_shared"]
+    common = dict(radius=0.8, normalize_xyz=True, use_xyz=True)
+
+    def f_idx(xyz, feats, new_xyz):
+        idx = ball_query(0.8, K, xyz, new_xyz)
+        return fused_sa_apply(xyz, feats, new_xyz, idx, mlp_p, mlp_s, **common)
+
+    def f_bq(xyz, feats, new_xyz):
+        return fused_sa_apply(xyz, feats, new_xyz, None, mlp_p, mlp_s,
+                              nsample=K, **common)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+    args = (xyz, feats, new_xyz)
+    sharded_args = tuple(jax.device_put(x, sh) for x in args)
+    for f in (f_idx, f_bq):
+        ref = jax.jit(f)(*args)
+        jf = jax.jit(f, in_shardings=(sh, sh, sh), out_shardings=sh)
+        out = jf(*sharded_args)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        txt = jf.lower(*sharded_args).compile().as_text()
+        assert "all-gather" not in txt

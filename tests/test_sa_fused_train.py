@@ -255,3 +255,47 @@ def test_dense_bias_grads_are_zero(impl):
     # layer-1 bias flows through ct: analytically 0 too, but computed by
     # autodiff of the A-form einsums — only approximately zero
     assert float(jnp.max(jnp.abs(g["layer0"]["dense"]["bias"]))) < 1e-3
+
+
+def test_fused_train_gspmd_sharded_matches_unsharded():
+    """Training kernels under GSPMD: batch-sharded jit must reproduce the
+    single-device forward, batch statistics and gradients — the pass
+    kernels emit per-batch-element partial sums whose jnp-level reduction
+    the partitioner lowers to an allreduce, keeping the batch statistics
+    EXACTLY the global-batch ones (not per-shard DDP stats)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from open3dsot_tpu.ops import ball_query
+    from open3dsot_tpu.ops.sa_fused_train import fused_sa_train_apply
+
+    rng = np.random.default_rng(3)
+    B, N, S, K, C = 8, 64, 32, 8, 16
+    xyz, feats, new_xyz, _, _, params, _, _, _ = _setup(
+        B=B, N=N, S=S, K=K, C=C, mlp=(16, 16, 32), radius=0.8, seed=3)
+
+    def loss(params, xyz, feats, new_xyz):
+        idx = ball_query(0.8, K, xyz, new_xyz)
+        out, stats = fused_sa_train_apply(
+            xyz, feats, new_xyz, idx, params,
+            radius=0.8, normalize_xyz=True, use_xyz=True)
+        return jnp.sum(out * out) * 1e-2, stats
+
+    gfn = jax.value_and_grad(loss, has_aux=True)
+    (ref_l, ref_stats), ref_g = jax.jit(gfn)(params, xyz, feats, new_xyz)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    jf = jax.jit(gfn, in_shardings=(repl, sh, sh, sh),
+                 out_shardings=((repl, repl), repl))
+    (sl, s_stats), s_g = jf(
+        jax.device_put(params, repl),
+        *[jax.device_put(x, sh) for x in (xyz, feats, new_xyz)])
+
+    assert abs(float(sl) - float(ref_l)) < 1e-3 * abs(float(ref_l))
+    for a, b in zip(jax.tree_util.tree_leaves(ref_stats),
+                    jax.tree_util.tree_leaves(s_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_g),
+                    jax.tree_util.tree_leaves(s_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
