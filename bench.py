@@ -8,8 +8,9 @@ point_sample_size=1024 (2048 stacked points/frame), 1024-point padded frames.
 
 `vs_baseline` is like-for-like: single-stream FPS vs the ~57 FPS the BAT
 paper reports on a 2080 GPU (SURVEY §6; the reference repo publishes no FPS).
-Batched per-chip throughput (8 concurrent tracklets) is reported as an extra
-field, not as the baseline comparison.
+Batched per-chip throughput (8 and 16 concurrent tracklets; 16 is the
+measured v5e sweet spot) is reported as extra fields, not as the baseline
+comparison.
 
 Honesty guarantees (round-1 regression — the old harness trusted
 `block_until_ready` through the remote-TPU tunnel and printed a physically
@@ -94,7 +95,7 @@ def main():
             IoU_space=3,
             motion_threshold=0.15,
             train_type="train_motion",
-            syn_num_tracklets=8,
+            syn_num_tracklets=16,
             syn_tracklet_len=64,
             seed=7,
         )
@@ -152,7 +153,12 @@ def main():
         }
 
     single = bench_case(slice(0, 1), passes=10)
-    batched = bench_case(slice(0, B), passes=5)
+    batched = bench_case(slice(0, 8), passes=5)
+    # 16 tracklets/dispatch is the measured throughput sweet spot on v5e
+    # (scripts/bench_scan_scaling.py: 8 -> 14.0k, 16 -> 18.4k, 32 -> 17.4k
+    # frames/s; bf16 eval is a small consistent LOSS at all B — the scan
+    # step is gather/bandwidth-bound, not MXU-bound, so compute stays f32)
+    batched16 = bench_case(slice(0, B), passes=5)
 
     # --- BAT fused matching-tracker scan row (regression guard for the
     # fused SA kernels + matching scan path; same overlapped-dispatch
@@ -180,19 +186,21 @@ def main():
         bat_vars = init_variables(bat, jax.random.PRNGKey(0))
         bat_tracker = MatchScanTracker(bat, bat_vars, bat_cfg,
                                        max_points=1024, frame_bucket=64)
-        bat_seqs = [test_sampler[i] for i in range(B)]
+        NB = 8  # regression-guard row stays at 8 tracklets (BAT scan
+        # scaling is ~flat: 5.36k/5.59k/5.69k f/s at 8/16/32 — compute-bound)
+        bat_seqs = [test_sampler[i] for i in range(NB)]
         # pad once on the host, then issue overlapped async _track dispatches
         # (track_batch fetches synchronously — that would measure the tunnel)
         from open3dsot_tpu.geometry import points_utils as _pu
 
         T_bat = max(bat_tracker._bucket_len(len(s)) for s in bat_seqs)
         P, P1 = bat_tracker.max_points, bat_tracker.first_crop_points
-        bpts = np.zeros((B, T_bat, P, 3), np.float32)
-        bval = np.zeros((B, T_bat, P), bool)
-        bfirst = np.zeros((B, P1, 3), np.float32)
-        bfv = np.zeros((B, P1), bool)
-        bwlh = np.zeros((B, 3), np.float32)
-        binit = np.zeros((B, 4), np.float32)
+        bpts = np.zeros((NB, T_bat, P, 3), np.float32)
+        bval = np.zeros((NB, T_bat, P), bool)
+        bfirst = np.zeros((NB, P1, 3), np.float32)
+        bfv = np.zeros((NB, P1), bool)
+        bwlh = np.zeros((NB, 3), np.float32)
+        binit = np.zeros((NB, 4), np.float32)
         for b, seq in enumerate(bat_seqs):
             fb = seq[0]["3d_bbox"]
             bwlh[b] = fb.wlh
@@ -218,7 +226,8 @@ def main():
         print(f"bat row skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
     # physical sanity gate: refuse to print impossible numbers
-    for name, case in (("single_stream", single), ("batched", batched)):
+    for name, case in (("single_stream", single), ("batched", batched),
+                       ("batched16", batched16)):
         if case["implied_tflops"] * 1e12 > peak:
             print(
                 f"BENCH REJECTED: {name} implies {case['implied_tflops']:.1f} "
@@ -237,10 +246,11 @@ def main():
                 "unit": "frames/s",
                 "vs_baseline": round(fps_b1 / 57.0, 3),
                 "batched_fps_8_tracklets": round(batched["fps"], 2),
+                "batched_fps_16_tracklets": round(batched16["fps"], 2),
                 "flops_per_frame": round(single["flops_per_frame"], 0),
                 "single_stream_implied_tflops": round(single["implied_tflops"], 3),
-                "batched_implied_tflops": round(batched["implied_tflops"], 3),
-                "batched_mfu": round(batched["mfu"], 4) if batched["mfu"] is not None else None,
+                "batched_implied_tflops": round(batched16["implied_tflops"], 3),
+                "batched_mfu": round(batched16["mfu"], 4) if batched16["mfu"] is not None else None,
                 "bat_fused_scan_fps_8_tracklets": (
                     round(bat_fps, 2) if bat_fps is not None else None),
                 # all FPS fields here use OVERLAPPED dispatch (passes issued
