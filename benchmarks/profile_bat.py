@@ -35,29 +35,48 @@ def _scalarize(out):
     return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
 
 
-def chain_timed(f, args, iters=20, repeats=3):
-    """Seconds per call of f(*args), amortized over `iters` in-graph loops."""
+def chain_timed(f, args, iters=20, repeats=3, calibrate=True):
+    """Seconds per call of f(*args), amortized over `iters` in-graph loops.
 
-    def looped(*xs):
-        def body(acc, _):
-            perturbed = jax.tree_util.tree_map(
-                lambda a: a + (acc * 1e-30).astype(a.dtype)
-                if jnp.issubdtype(a.dtype, jnp.floating)
-                else a,
-                xs,
-            )
-            out = f(*perturbed)
-            return acc + _scalarize(out) * 1e-30, None
+    With calibrate=True (default), the per-dispatch fixed overhead — ~30 ms
+    of tunnel latency on this remote-TPU setup, measured by
+    scripts/probe_chain_overhead.py — is cancelled exactly by timing the
+    same chain at two scan lengths K and 5K and differencing:
+    t_dispatch(K) = overhead + K*work, so
+    work = (T(5K) - T(K)) / (4K). Without calibration a K=50 chain
+    overstates every stage by ~0.6 ms (which once made 5 stage timings sum
+    to 2.4x the full forward they compose into). Costs a second compile.
+    """
 
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return acc
+    def make(K):
+        def looped(*xs):
+            def body(acc, _):
+                perturbed = jax.tree_util.tree_map(
+                    lambda a: a + (acc * 1e-30).astype(a.dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating)
+                    else a,
+                    xs,
+                )
+                out = f(*perturbed)
+                return acc + _scalarize(out) * 1e-30, None
 
-    g = jax.jit(looped)
-    float(g(*args))  # compile + warm
-    t0 = time.perf_counter()
-    outs = [g(*args) for _ in range(repeats)]
-    _ = [float(o) for o in outs]
-    return (time.perf_counter() - t0) / (repeats * iters)
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+            return acc
+
+        return jax.jit(looped)
+
+    def timed(g):
+        float(g(*args))  # compile + warm
+        t0 = time.perf_counter()
+        outs = [g(*args) for _ in range(repeats)]
+        _ = [float(o) for o in outs]
+        return (time.perf_counter() - t0) / repeats
+
+    if not calibrate:
+        return timed(make(iters)) / iters
+    k1, k2 = iters, 5 * iters
+    t1, t2 = timed(make(k1)), timed(make(k2))
+    return max((t2 - t1) / (k2 - k1), 0.0)
 
 
 def flops_of(fn, *args):

@@ -29,31 +29,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def chain_timed(f, args, iters=100, repeats=2):
-    """Seconds per call of f(*args): K in-graph iterations, scalar fetch."""
-
-    def looped(*xs):
-        def body(acc, _):
-            perturbed = jax.tree_util.tree_map(
-                lambda a: a + (acc * 1e-30).astype(a.dtype)
-                if jnp.issubdtype(a.dtype, jnp.floating)
-                else a,
-                xs,
-            )
-            out = f(*perturbed)
-            leaves = jax.tree_util.tree_leaves(out)
-            s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
-            return acc + s * 1e-30, None
-
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return acc
-
-    g = jax.jit(looped)
-    float(g(*args))  # compile + warm
-    t0 = time.perf_counter()
-    outs = [g(*args) for _ in range(repeats)]
-    _ = [float(o) for o in outs]
-    return (time.perf_counter() - t0) / (repeats * iters)
+from benchmarks.profile_bat import chain_timed  # noqa: E402  (calibrated:
+# cancels the ~30 ms tunnel dispatch overhead by differencing two chain
+# lengths; the old in-file copy overstated ~1 ms kernel rows by 30-60%)
 
 
 def main():
