@@ -1,0 +1,139 @@
+"""End-to-end dataset-eval wall-clock: device metrics + pipelining vs the
+serial host-scored loop. (run on the real TPU)
+
+Unlike bench.py's device-only overlapped loops, this times the WHOLE
+evaluate_dataset_scan / evaluate_dataset_scan_matching call — host padding,
+dispatch, scoring, metric binning — the number a user's `--test` run sees.
+The serial loop fetches each batch's (B, T-1, 4) boxes and clips polygons
+per frame on this 1-core host; the pipelined path scores on device and
+keeps `depth` batches in flight.
+
+Usage: python benchmarks/bench_e2e_eval.py  (writes BENCH_E2E_EVAL.md)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np  # noqa: F401
+
+
+def m2_case():
+    from open3dsot_tpu.config import make_config
+    from open3dsot_tpu.data import get_dataset
+    from open3dsot_tpu.models import get_model
+    from open3dsot_tpu.tracking.scan_tracker import (
+        M2ScanTracker,
+        evaluate_dataset_scan,
+    )
+    from open3dsot_tpu.train.trainer import init_variables
+
+    cfg = make_config(dict(
+        dataset="synthetic", net_model="m2track", category_name="Car",
+        bb_scale=1.25, bb_offset=2, point_sample_size=1024, degrees=False,
+        up_axis=[0, 0, 1], box_aware=True, use_z=True, limit_box=False,
+        IoU_space=3, motion_threshold=0.15, train_type="train_motion",
+        syn_num_tracklets=64, syn_tracklet_len=32, seed=7,
+    ))
+    model = get_model("m2track")(cfg)
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    sampler = get_dataset(cfg, "test", "test")
+    tracker = M2ScanTracker(model, variables, cfg, max_points=1024,
+                            frame_bucket=32)
+    return ("m2track", cfg, model, variables, sampler, tracker,
+            evaluate_dataset_scan, 16)
+
+
+def bat_case():
+    from open3dsot_tpu.config import make_config
+    from open3dsot_tpu.data import get_dataset
+    from open3dsot_tpu.models import get_model
+    from open3dsot_tpu.tracking.scan_matching import (
+        MatchScanTracker,
+        evaluate_dataset_scan_matching,
+    )
+    from open3dsot_tpu.train.trainer import init_variables
+
+    cfg = make_config(dict(
+        dataset="synthetic", net_model="bat", category_name="Car",
+        template_size=512, search_size=1024, point_sample_size=1024,
+        feature_channel=256, hidden_channel=256, out_channel=256,
+        vote_channel=256, num_proposal=64, k=4, bc_channel=9,
+        box_aware=True, use_fps=True, normalize_xyz=False, degrees=True,
+        use_z=False, limit_box=False, IoU_space=3,
+        model_bb_scale=1.25, model_bb_offset=0.0,
+        search_bb_scale=1.25, search_bb_offset=2.0,
+        shape_aggregation="firstandprevious", reference_BB="previous_result",
+        bb_scale=1.25, bb_offset=2.0, train_type="train_siamese",
+        syn_num_tracklets=32, syn_tracklet_len=32, seed=7,
+    ))
+    model = get_model("bat")(cfg)
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    sampler = get_dataset(cfg, "test", "test")
+    tracker = MatchScanTracker(model, variables, cfg, max_points=1024,
+                               first_crop_points=512, frame_bucket=32)
+    return ("bat", cfg, model, variables, sampler, tracker,
+            evaluate_dataset_scan_matching, 8)
+
+
+def run_case(case):
+    name, cfg, model, variables, sampler, tracker, eval_fn, bt = case
+    n_frames = sum(len(sampler[i]) for i in range(len(sampler)))
+    rows = []
+    for device_metrics in (True, False):
+        # warm (compile) pass, then 2 timed passes
+        kw = dict(batch_tracklets=bt, tracker=tracker,
+                  device_metrics=device_metrics)
+        eval_fn(model, variables, sampler, cfg, **kw)
+        t0 = time.perf_counter()
+        reps = 2
+        for _ in range(reps):
+            succ, prec = eval_fn(model, variables, sampler, cfg, **kw)
+        dt = (time.perf_counter() - t0) / reps
+        fps = n_frames / dt
+        label = "device-scored, pipelined" if device_metrics else \
+            "host-scored, serial"
+        rows.append((name, label, n_frames, dt, fps, succ, prec))
+        print(f"{name:8s} {label:26s} {n_frames} frames in {dt:6.2f} s "
+              f"= {fps:8.1f} frames/s  (S {succ:.2f} / P {prec:.2f})",
+              flush=True)
+    return rows
+
+
+def main():
+    rows = []
+    rows += run_case(m2_case())
+    rows += run_case(bat_case())
+    out = [
+        "# End-to-end dataset eval (TPU, wall-clock incl. host work)",
+        "",
+        f"device: {jax.devices()[0].device_kind}; synthetic tracklets; "
+        "whole evaluate_dataset_scan* call timed (padding + dispatch + "
+        "scoring + binning), mean of 2 passes after a compile pass.",
+        "",
+        "On this remote-TPU setup the pipelined rows are bound by the "
+        "tunnel's ~35 MB/s host-to-device bandwidth (each frame ships "
+        "max_points*3 f32 = 12 KB of padded points), not by host or device "
+        "compute — locally attached TPUs would go substantially faster. "
+        "The serial rows additionally pay the host polygon clip per frame "
+        "and a full pipeline drain per batch.",
+        "",
+        "| model | eval loop | frames | s/pass | frames/s |",
+        "|---|---|---|---|---|",
+    ]
+    for name, label, n, dt, fps, _, _ in rows:
+        out.append(f"| {name} | {label} | {n} | {dt:.2f} | {fps:.1f} |")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                        "BENCH_E2E_EVAL.md")
+    with open(path, "w") as fh:
+        fh.write("\n".join(out) + "\n")
+    print("wrote", os.path.abspath(path))
+
+
+if __name__ == "__main__":
+    main()

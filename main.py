@@ -55,6 +55,11 @@ def parse_args():
                         choices=["host", "scan"],
                         help="eval path: 'host' = per-frame fidelity loop, "
                              "'scan' = batched on-device lax.scan tracker")
+    parser.add_argument("--host_metrics", action="store_true",
+                        help="with --tracker scan: score trajectories on the "
+                             "host (geometry/iou.py) instead of the default "
+                             "pipelined on-device scoring "
+                             "(geometry/iou_device.py)")
     return parser.parse_args()
 
 
@@ -107,6 +112,7 @@ def main():
                 succ, prec = evaluate_dataset_scan(
                     model, variables, test_sampler, cfg,
                     max_tracklets=args.max_tracklets,
+                    device_metrics=not args.host_metrics,
                 )
             else:
                 from open3dsot_tpu.tracking.scan_matching import (
@@ -116,6 +122,7 @@ def main():
                 succ, prec = evaluate_dataset_scan_matching(
                     model, variables, test_sampler, cfg,
                     max_tracklets=args.max_tracklets,
+                    device_metrics=not args.host_metrics,
                 )
         else:
             succ, prec = evaluate_dataset(

@@ -81,6 +81,7 @@ class MatchScanTracker:
         self.max_points = max_points
         self.first_crop_points = first_crop_points
         self.frame_bucket = frame_bucket
+        self._scorer = None  # built lazily by dispatch_scored
         self.is_bat = hasattr(model.net, "bc_channel") or model.name == "bat"
 
         m_scale = float(config.model_bb_scale)
@@ -170,7 +171,7 @@ class MatchScanTracker:
     def _bucket_len(self, T: int) -> int:
         return max(2, -(-T // self.frame_bucket) * self.frame_bucket)
 
-    def track_batch(self, sequences: Sequence[list]) -> List[np.ndarray]:
+    def _prepare(self, sequences: Sequence[list]):
         B_real = len(sequences)
         # pad the batch to a mesh-divisible size by repeating the last tracklet
         pad = (-B_real) % self._mesh_size
@@ -208,6 +209,12 @@ class MatchScanTracker:
                     p = p[np.argsort(d, kind="stable")[:P]]
                 pts[b, t, : len(p)] = p
                 valid[b, t, : len(p)] = True
+        return (sequences, B_real, T_pad,
+                pts, valid, wlh, init, first_pts, first_valid)
+
+    def track_batch(self, sequences: Sequence[list]) -> List[np.ndarray]:
+        (sequences, B_real, _, pts, valid, wlh, init,
+         first_pts, first_valid) = self._prepare(sequences)
         boxes = np.asarray(
             self._track(
                 self.variables,
@@ -219,6 +226,30 @@ class MatchScanTracker:
             boxes[b, : len(seq) - 1]
             for b, seq in enumerate(sequences[:B_real])
         ]
+
+    def dispatch_scored(self, sequences: Sequence[list]):
+        """Dispatch tracking + on-device trajectory scoring; no host sync.
+
+        Returns (iou_dev (B_real, T_pad), dist_dev) device arrays; see
+        scan_tracker.pipelined_scores for the overlapped eval loop.
+        """
+        from open3dsot_tpu.tracking.scan_tracker import _gt_arrays, _make_scorer
+
+        (sequences, B_real, T_pad, pts, valid, wlh, init,
+         first_pts, first_valid) = self._prepare(sequences)
+        gt_params, gt_wlh = _gt_arrays(sequences, T_pad, self._A_np)
+        boxes = self._track(
+            self.variables,
+            jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(wlh),
+            jnp.asarray(init), jnp.asarray(first_pts), jnp.asarray(first_valid),
+        )
+        if self._scorer is None:
+            self._scorer = _make_scorer(self.config)
+        iou, dist = self._scorer(
+            boxes, jnp.asarray(init), jnp.asarray(wlh),
+            jnp.asarray(gt_params), jnp.asarray(gt_wlh),
+        )
+        return iou[:B_real], dist[:B_real]
 
     def evaluate_sequences(self, sequences, config):
         all_boxes = self.track_batch(sequences)
@@ -255,7 +286,9 @@ def evaluate_dataset_scan_matching(model, variables, test_sampler, config,
                                    max_points: int = 4096,
                                    batch_tracklets: int = 8,
                                    max_tracklets: Optional[int] = None,
-                                   tracker: Optional["MatchScanTracker"] = None):
+                                   tracker: Optional["MatchScanTracker"] = None,
+                                   device_metrics: bool = True,
+                                   pipeline_depth: int = 3):
     """Batched scan eval over a whole dataset; returns (success, precision).
 
     Pass a prebuilt `tracker` to reuse its compiled scan across calls
@@ -263,9 +296,13 @@ def evaluate_dataset_scan_matching(model, variables, test_sampler, config,
     Configs the scan path cannot serve (shape_aggregation/reference_BB modes
     other than firstandprevious/previous_result, unsupported up_axis) fall
     back to the host fidelity tracker with a logged warning.
+
+    device_metrics=True scores trajectories on device with `pipeline_depth`
+    batches in flight (see scan_tracker.evaluate_dataset_scan).
     """
     from collections import defaultdict
 
+    from open3dsot_tpu.tracking.scan_tracker import pipelined_scores
     from open3dsot_tpu.utils.metrics import Precision, Success
 
     if tracker is None:
@@ -290,11 +327,19 @@ def evaluate_dataset_scan_matching(model, variables, test_sampler, config,
     for i in range(n):
         seq = test_sampler[i]
         buckets[tracker._bucket_len(len(seq))].append(seq)
-    for _, seqs in sorted(buckets.items()):
-        for j in range(0, len(seqs), batch_tracklets):
-            for ious, distances, _ in tracker.evaluate_sequences(
-                seqs[j : j + batch_tracklets], config
-            ):
+    batches = [
+        seqs[j : j + batch_tracklets]
+        for _, seqs in sorted(buckets.items())
+        for j in range(0, len(seqs), batch_tracklets)
+    ]
+    if device_metrics:
+        for ious, distances in pipelined_scores(tracker, batches,
+                                                depth=pipeline_depth):
+            success.update(ious)
+            precision.update(distances)
+    else:
+        for batch in batches:
+            for ious, distances, _ in tracker.evaluate_sequences(batch, config):
                 success.update(ious)
                 precision.update(distances)
     return success.compute(), precision.compute()

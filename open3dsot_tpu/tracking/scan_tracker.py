@@ -85,6 +85,75 @@ def _select_fixed(points: jnp.ndarray, valid: jnp.ndarray, n: int,
     return jnp.where(count[..., None] > 0, out, jnp.zeros_like(out))
 
 
+def _gt_arrays(sequences, T_pad: int, A_np):
+    """Ground-truth (B, T_pad, 4) params + (B, T_pad, 3) wlh for scoring.
+
+    Padded frames repeat the last gt box; callers slice [:len(seq)]."""
+    B = len(sequences)
+    gt_params = np.zeros((B, T_pad, 4), np.float32)
+    gt_wlh = np.ones((B, T_pad, 3), np.float32)
+    for b, seq in enumerate(sequences):
+        for t, frame in enumerate(seq):
+            gt = frame["3d_bbox"]
+            theta = rigid.theta_from_rotation(gt.rotation_matrix, A_np)
+            gt_params[b, t] = np.append(gt.center, theta)
+            gt_wlh[b, t] = gt.wlh
+        if len(seq) < T_pad:
+            gt_params[b, len(seq):] = gt_params[b, len(seq) - 1]
+            gt_wlh[b, len(seq):] = gt_wlh[b, len(seq) - 1]
+    return gt_params, gt_wlh
+
+
+def _make_scorer(config):
+    """Jitted whole-trajectory scorer: (boxes (B,T-1,4), init (B,4),
+    wlh (B,3), gt_params (B,T,4), gt_wlh (B,T,3)) -> (iou, dist) (B,T).
+
+    Frame 0 scores the gt box against itself (results_bbs[0] IS the first
+    gt box in the reference loop, base_model.py:59-86) — exactly 1.0 / 0.0.
+    """
+    from open3dsot_tpu.geometry.iou_device import overlap_accuracy, up_index
+
+    dim = int(config.IoU_space)
+    up_idx = up_index(config.up_axis)
+
+    @jax.jit
+    def score(boxes, init, wlh, gt_params, gt_wlh):
+        preds = jnp.concatenate([init[:, None, :], boxes], axis=1)  # (B,T,4)
+        pred_wlh = jnp.broadcast_to(wlh[:, None, :], gt_wlh.shape)
+        return overlap_accuracy(
+            gt_params, gt_wlh, preds, pred_wlh, dim=dim, up_idx=up_idx
+        )
+
+    return score
+
+
+def pipelined_scores(tracker, batches, depth: int = 3):
+    """Yield per-tracklet (ious, distances) with `depth` batches in flight.
+
+    While the device tracks batch j, the host pads batch j+1 and bins batch
+    j-depth's fetched scores — the host's per-frame work (numpy padding,
+    metric binning) overlaps device compute instead of serializing with it,
+    and only two (B, T) scalar arrays cross the tunnel per batch.
+    """
+    from collections import deque
+
+    q: deque = deque()
+
+    def drain():
+        seqs, (iou_d, dist_d) = q.popleft()
+        iou, dist = np.asarray(iou_d), np.asarray(dist_d)
+        for b, seq in enumerate(seqs):
+            T = len(seq)
+            yield iou[b, :T], dist[b, :T]
+
+    for seqs in batches:
+        q.append((list(seqs), tracker.dispatch_scored(seqs)))
+        if len(q) > depth:
+            yield from drain()
+    while q:
+        yield from drain()
+
+
 class M2ScanTracker:
     """Batched on-device tracker for M2-Track (B tracklets per dispatch)."""
 
@@ -106,6 +175,7 @@ class M2ScanTracker:
         self.max_points = max_points
         self.frame_bucket = frame_bucket
         self.mesh = mesh
+        self._scorer = None  # built lazily by dispatch_scored
         # up-axis basis: None (z-up) or Rx(pi/2) for camera mode; raises on
         # unsupported axes (geometry/rigid.py::up_frame)
         A = rigid.up_frame(config.up_axis)
@@ -233,11 +303,8 @@ class M2ScanTracker:
     def _bucket_len(self, T: int) -> int:
         return max(2, -(-T // self.frame_bucket) * self.frame_bucket)
 
-    def track_batch(self, sequences: Sequence[list]) -> List[np.ndarray]:
-        """Run B tracklets (same padded length bucket) in one dispatch.
-
-        Returns a list of (T_i - 1, 4) world-frame box parameter arrays.
-        """
+    def _prepare(self, sequences: Sequence[list]):
+        """Pad a tracklet batch to device arrays (mesh-divisible B)."""
         B_real = len(sequences)
         # pad the batch to a mesh-divisible size by repeating the last tracklet
         pad = (-B_real) % self._mesh_size
@@ -255,6 +322,14 @@ class M2ScanTracker:
             wlh[b] = first_box.wlh
             theta0 = rigid.theta_from_rotation(first_box.rotation_matrix, self._A_np)
             init[b] = np.append(first_box.center, theta0)
+        return sequences, B_real, T_pad, pts, valid, wlh, init
+
+    def track_batch(self, sequences: Sequence[list]) -> List[np.ndarray]:
+        """Run B tracklets (same padded length bucket) in one dispatch.
+
+        Returns a list of (T_i - 1, 4) world-frame box parameter arrays.
+        """
+        sequences, B_real, _, pts, valid, wlh, init = self._prepare(sequences)
         boxes = np.asarray(
             self._track(
                 self.variables,
@@ -265,6 +340,32 @@ class M2ScanTracker:
             )
         )
         return [boxes[b, : len(seq) - 1] for b, seq in enumerate(sequences[:B_real])]
+
+    def dispatch_scored(self, sequences: Sequence[list]):
+        """Dispatch tracking AND on-device scoring; no host sync.
+
+        Returns (iou_dev (B_real, T_pad), dist_dev) device arrays — fetch
+        with np.asarray when ready (slice [b, :len(seq)] per tracklet).
+        Scoring runs as a second small dispatch on the un-fetched box array
+        (geometry/iou_device.py), so the host never clips polygons
+        per frame; see evaluate_dataset_scan's pipelined loop.
+        """
+        sequences, B_real, T_pad, pts, valid, wlh, init = self._prepare(sequences)
+        gt_params, gt_wlh = _gt_arrays(sequences, T_pad, self._A_np)
+        boxes = self._track(
+            self.variables,
+            jnp.asarray(pts),
+            jnp.asarray(valid),
+            jnp.asarray(wlh),
+            jnp.asarray(init),
+        )
+        if self._scorer is None:
+            self._scorer = _make_scorer(self.config)
+        iou, dist = self._scorer(
+            boxes, jnp.asarray(init), jnp.asarray(wlh),
+            jnp.asarray(gt_params), jnp.asarray(gt_wlh),
+        )
+        return iou[:B_real], dist[:B_real]
 
     def _score(self, sequence, box_params, config):
         first_box = sequence[0]["3d_bbox"]
@@ -303,13 +404,21 @@ def evaluate_dataset_scan(model, variables, test_sampler, config,
                           max_points: int = 4096,
                           batch_tracklets: int = 8,
                           max_tracklets: Optional[int] = None,
-                          tracker: Optional["M2ScanTracker"] = None):
+                          tracker: Optional["M2ScanTracker"] = None,
+                          device_metrics: bool = True,
+                          pipeline_depth: int = 3):
     """Scan-tracker dataset evaluation; returns (success, precision).
 
     Tracklets are grouped into same-length-bucket batches of up to
     `batch_tracklets` so each group runs as one device dispatch. Pass a
     prebuilt `tracker` to reuse its compiled scan across calls (in-training
     validation); its variables are swapped for the given ones.
+
+    device_metrics=True (default) scores trajectories on device
+    (geometry/iou_device.py) with `pipeline_depth` batches in flight —
+    padding/binning for one batch overlaps tracking of another, and only
+    (B, T) scalar arrays are fetched. device_metrics=False is the original
+    serial host-scoring loop (fetch boxes, clip polygons per frame).
     """
     from collections import defaultdict
 
@@ -328,11 +437,19 @@ def evaluate_dataset_scan(model, variables, test_sampler, config,
     for i in range(n):
         seq = test_sampler[i]
         buckets[tracker._bucket_len(len(seq))].append(seq)
-    for _, seqs in sorted(buckets.items()):
-        for j in range(0, len(seqs), batch_tracklets):
-            for ious, distances, _ in tracker.evaluate_sequences(
-                seqs[j : j + batch_tracklets], config
-            ):
+    batches = [
+        seqs[j : j + batch_tracklets]
+        for _, seqs in sorted(buckets.items())
+        for j in range(0, len(seqs), batch_tracklets)
+    ]
+    if device_metrics:
+        for ious, distances in pipelined_scores(tracker, batches,
+                                                depth=pipeline_depth):
+            success.update(ious)
+            precision.update(distances)
+    else:
+        for batch in batches:
+            for ious, distances, _ in tracker.evaluate_sequences(batch, config):
                 success.update(ious)
                 precision.update(distances)
     return success.compute(), precision.compute()

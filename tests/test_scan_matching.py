@@ -76,6 +76,24 @@ class TestMatchScanTracker:
         for b, s in zip(batched, singles):
             assert np.allclose(b, s, atol=1e-4)
 
+    def test_dispatch_scored_matches_host_score(self, net):
+        """On-device trajectory scoring must reproduce the host _score of
+        the same boxes per frame."""
+        cfg = cfg_for(net)
+        model = get_model(net)(cfg)
+        variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
+        sampler = get_dataset(cfg, "test", "test")
+        tracker = MatchScanTracker(model, variables, cfg, max_points=1024,
+                                   first_crop_points=256)
+        seqs = [sampler[0], sampler[1]]
+        iou_d, dist_d = (np.asarray(x) for x in tracker.dispatch_scored(seqs))
+        for b, (ious, dists, _) in enumerate(
+            tracker.evaluate_sequences(seqs, cfg)
+        ):
+            T = len(seqs[b])
+            assert np.allclose(iou_d[b, :T], ious, atol=2e-4)
+            assert np.allclose(dist_d[b, :T], dists, atol=2e-4)
+
 
 class TestLimitBox:
     def test_limit_box_config_runs(self):

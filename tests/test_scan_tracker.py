@@ -137,6 +137,41 @@ class TestScanTracker:
         for hb, sb in zip(host[2], scan[2]):
             assert np.linalg.norm(hb.center - sb.center) < 5.0
 
+    def test_device_metrics_match_host_scoring(self, setup):
+        """The pipelined device-metric eval (geometry/iou_device.py inside
+        the dispatch) must reproduce the host-scored eval of the SAME scan
+        trajectories to fp wobble."""
+        cfg, model, variables = setup
+        sampler = get_dataset(cfg, "test", "test")
+        tr = M2ScanTracker(model, variables, cfg, max_points=1024)
+        s_dev, p_dev = evaluate_dataset_scan(
+            model, variables, sampler, cfg, max_points=1024,
+            max_tracklets=2, tracker=tr, device_metrics=True,
+        )
+        s_host, p_host = evaluate_dataset_scan(
+            model, variables, sampler, cfg, max_points=1024,
+            max_tracklets=2, tracker=tr, device_metrics=False,
+        )
+        # f32 device scoring vs f64 host scoring: a value landing within fp
+        # wobble of a threshold can flip one AUC count bin — 0.25-0.5 pts on
+        # this 10-frame set (see iou_device.py approximation notes); the
+        # per-frame agreement is pinned tightly by the test below
+        assert s_dev == pytest.approx(s_host, abs=0.6)
+        assert p_dev == pytest.approx(p_host, abs=0.6)
+
+    def test_dispatch_scored_matches_host_score(self, setup):
+        """Per-frame device iou/dist must equal host _score of the same
+        boxes (not just the AUC aggregate)."""
+        cfg, model, variables = setup
+        sampler = get_dataset(cfg, "test", "test")
+        tr = M2ScanTracker(model, variables, cfg, max_points=1024)
+        seqs = [sampler[0], sampler[1]]
+        iou_d, dist_d = (np.asarray(x) for x in tr.dispatch_scored(seqs))
+        for b, (ious, dists, _) in enumerate(tr.evaluate_sequences(seqs, cfg)):
+            T = len(seqs[b])
+            assert np.allclose(iou_d[b, :T], ious, atol=2e-4)
+            assert np.allclose(dist_d[b, :T], dists, atol=2e-4)
+
     def test_deterministic(self, setup):
         cfg, model, variables = setup
         sampler = get_dataset(cfg, "test", "test")
