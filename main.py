@@ -113,6 +113,7 @@ def main():
                     model, variables, test_sampler, cfg,
                     max_tracklets=args.max_tracklets,
                     device_metrics=not args.host_metrics,
+                    shard_across_processes=jax.process_count() > 1,
                 )
             else:
                 from open3dsot_tpu.tracking.scan_matching import (
@@ -123,6 +124,7 @@ def main():
                     model, variables, test_sampler, cfg,
                     max_tracklets=args.max_tracklets,
                     device_metrics=not args.host_metrics,
+                    shard_across_processes=jax.process_count() > 1,
                 )
         else:
             succ, prec = evaluate_dataset(

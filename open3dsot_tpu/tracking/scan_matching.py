@@ -288,7 +288,8 @@ def evaluate_dataset_scan_matching(model, variables, test_sampler, config,
                                    max_tracklets: Optional[int] = None,
                                    tracker: Optional["MatchScanTracker"] = None,
                                    device_metrics: bool = True,
-                                   pipeline_depth: int = 3):
+                                   pipeline_depth: int = 3,
+                                   shard_across_processes: bool = False):
     """Batched scan eval over a whole dataset; returns (success, precision).
 
     Pass a prebuilt `tracker` to reuse its compiled scan across calls
@@ -297,12 +298,14 @@ def evaluate_dataset_scan_matching(model, variables, test_sampler, config,
     other than firstandprevious/previous_result, unsupported up_axis) fall
     back to the host fidelity tracker with a logged warning.
 
-    device_metrics=True scores trajectories on device with `pipeline_depth`
-    batches in flight (see scan_tracker.evaluate_dataset_scan).
+    device_metrics / pipeline_depth / shard_across_processes as in
+    scan_tracker.evaluate_dataset_scan.
     """
-    from collections import defaultdict
-
-    from open3dsot_tpu.tracking.scan_tracker import pipelined_scores
+    from open3dsot_tpu.tracking.scan_tracker import (
+        _bucketed_batches,
+        _merge_process_metrics,
+        pipelined_scores,
+    )
     from open3dsot_tpu.utils.metrics import Precision, Success
 
     if tracker is None:
@@ -316,6 +319,7 @@ def evaluate_dataset_scan_matching(model, variables, test_sampler, config,
             return evaluate_dataset(
                 model, variables, test_sampler, config,
                 max_tracklets=max_tracklets,
+                shard_across_processes=shard_across_processes,
             )
     else:
         tracker.variables = variables
@@ -323,15 +327,8 @@ def evaluate_dataset_scan_matching(model, variables, test_sampler, config,
     n = len(test_sampler)
     if max_tracklets is not None:
         n = min(n, max_tracklets)
-    buckets = defaultdict(list)
-    for i in range(n):
-        seq = test_sampler[i]
-        buckets[tracker._bucket_len(len(seq))].append(seq)
-    batches = [
-        seqs[j : j + batch_tracklets]
-        for _, seqs in sorted(buckets.items())
-        for j in range(0, len(seqs), batch_tracklets)
-    ]
+    batches = _bucketed_batches(test_sampler, n, tracker, batch_tracklets,
+                                shard_across_processes)
     if device_metrics:
         for ious, distances in pipelined_scores(tracker, batches,
                                                 depth=pipeline_depth):
@@ -342,4 +339,5 @@ def evaluate_dataset_scan_matching(model, variables, test_sampler, config,
             for ious, distances, _ in tracker.evaluate_sequences(batch, config):
                 success.update(ious)
                 precision.update(distances)
+    _merge_process_metrics(success, precision, shard_across_processes)
     return success.compute(), precision.compute()

@@ -406,7 +406,8 @@ def evaluate_dataset_scan(model, variables, test_sampler, config,
                           max_tracklets: Optional[int] = None,
                           tracker: Optional["M2ScanTracker"] = None,
                           device_metrics: bool = True,
-                          pipeline_depth: int = 3):
+                          pipeline_depth: int = 3,
+                          shard_across_processes: bool = False):
     """Scan-tracker dataset evaluation; returns (success, precision).
 
     Tracklets are grouped into same-length-bucket batches of up to
@@ -419,9 +420,13 @@ def evaluate_dataset_scan(model, variables, test_sampler, config,
     padding/binning for one batch overlaps tracking of another, and only
     (B, T) scalar arrays are fetched. device_metrics=False is the original
     serial host-scoring loop (fetch boxes, clip polygons per frame).
-    """
-    from collections import defaultdict
 
+    shard_across_processes: each process walks tracklets
+    process_index::process_count at full scan speed and the fixed-size AUC
+    count-vectors are summed at the end (the reference's Lightning DDP
+    test sharding, /root/reference/main.py:89-93, at O(22 floats) of
+    communication).
+    """
     from open3dsot_tpu.utils.metrics import Precision, Success
 
     if tracker is None:
@@ -433,15 +438,8 @@ def evaluate_dataset_scan(model, variables, test_sampler, config,
     if max_tracklets is not None:
         n = min(n, max_tracklets)
 
-    buckets = defaultdict(list)
-    for i in range(n):
-        seq = test_sampler[i]
-        buckets[tracker._bucket_len(len(seq))].append(seq)
-    batches = [
-        seqs[j : j + batch_tracklets]
-        for _, seqs in sorted(buckets.items())
-        for j in range(0, len(seqs), batch_tracklets)
-    ]
+    batches = _bucketed_batches(test_sampler, n, tracker, batch_tracklets,
+                                shard_across_processes)
     if device_metrics:
         for ious, distances in pipelined_scores(tracker, batches,
                                                 depth=pipeline_depth):
@@ -452,4 +450,36 @@ def evaluate_dataset_scan(model, variables, test_sampler, config,
             for ious, distances, _ in tracker.evaluate_sequences(batch, config):
                 success.update(ious)
                 precision.update(distances)
+    _merge_process_metrics(success, precision, shard_across_processes)
     return success.compute(), precision.compute()
+
+
+def _bucketed_batches(test_sampler, n, tracker, batch_tracklets,
+                      shard_across_processes=False):
+    """Group tracklets [start::step, < n] into same-length-bucket batches."""
+    from collections import defaultdict
+
+    start, step = 0, 1
+    if shard_across_processes:
+        start, step = jax.process_index(), jax.process_count()
+    buckets = defaultdict(list)
+    for i in range(start, n, step):
+        seq = test_sampler[i]
+        buckets[tracker._bucket_len(len(seq))].append(seq)
+    return [
+        seqs[j : j + batch_tracklets]
+        for _, seqs in sorted(buckets.items())
+        for j in range(0, len(seqs), batch_tracklets)
+    ]
+
+
+def _merge_process_metrics(success, precision, shard_across_processes):
+    """Sum the AUC count-vectors across the jax.distributed process group."""
+    if shard_across_processes and jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        for metric in (success, precision):
+            gathered = np.asarray(
+                multihost_utils.process_allgather(metric.state())
+            )
+            metric.load_state(gathered.sum(axis=0))
