@@ -43,9 +43,12 @@ def m2_case():
     model = get_model("m2track")(cfg)
     variables = init_variables(model, jax.random.PRNGKey(0))
     sampler = get_dataset(cfg, "test", "test")
-    tracker = M2ScanTracker(model, variables, cfg, max_points=1024,
-                            frame_bucket=32)
-    return ("m2track", cfg, model, variables, sampler, tracker,
+
+    def make_tracker(**kw):
+        return M2ScanTracker(model, variables, cfg, max_points=1024,
+                             frame_bucket=32, **kw)
+
+    return ("m2track", cfg, model, variables, sampler, make_tracker,
             evaluate_dataset_scan, 16)
 
 
@@ -75,19 +78,32 @@ def bat_case():
     model = get_model("bat")(cfg)
     variables = init_variables(model, jax.random.PRNGKey(0))
     sampler = get_dataset(cfg, "test", "test")
-    tracker = MatchScanTracker(model, variables, cfg, max_points=1024,
-                               first_crop_points=512, frame_bucket=32)
-    return ("bat", cfg, model, variables, sampler, tracker,
+
+    def make_tracker(**kw):
+        return MatchScanTracker(model, variables, cfg, max_points=1024,
+                                first_crop_points=512, frame_bucket=32, **kw)
+
+    return ("bat", cfg, model, variables, sampler, make_tracker,
             evaluate_dataset_scan_matching, 8)
 
 
 def run_case(case):
-    name, cfg, model, variables, sampler, tracker, eval_fn, bt = case
+    name, cfg, model, variables, sampler, make_tracker, eval_fn, bt = case
     n_frames = sum(len(sampler[i]) for i in range(len(sampler)))
+    exact_tracker = make_tracker()
     rows = []
-    for device_metrics in (True, False):
+    # (device_metrics, transfer_dtype): the pipelined path is H2D-bound on
+    # this tunnel, so the int16 variant (halved point bytes, in-jit
+    # dequant) isolates the transfer cost
+    variants = [
+        (True, exact_tracker, "device-scored, pipelined"),
+        (True, make_tracker(transfer_dtype="int16"),
+         "device-scored, pipelined, int16 transfer"),
+        (False, exact_tracker, "host-scored, serial"),
+    ]
+    for device_metrics, tr, label in variants:
         # warm (compile) pass, then 2 timed passes
-        kw = dict(batch_tracklets=bt, tracker=tracker,
+        kw = dict(batch_tracklets=bt, tracker=tr,
                   device_metrics=device_metrics)
         eval_fn(model, variables, sampler, cfg, **kw)
         t0 = time.perf_counter()
@@ -96,10 +112,8 @@ def run_case(case):
             succ, prec = eval_fn(model, variables, sampler, cfg, **kw)
         dt = (time.perf_counter() - t0) / reps
         fps = n_frames / dt
-        label = "device-scored, pipelined" if device_metrics else \
-            "host-scored, serial"
         rows.append((name, label, n_frames, dt, fps, succ, prec))
-        print(f"{name:8s} {label:26s} {n_frames} frames in {dt:6.2f} s "
+        print(f"{name:8s} {label:38s} {n_frames} frames in {dt:6.2f} s "
               f"= {fps:8.1f} frames/s  (S {succ:.2f} / P {prec:.2f})",
               flush=True)
     return rows

@@ -345,6 +345,13 @@ def main():
         "chaining (K steps per dispatch, scalar fetch) and are "
         "dispatch-model-independent.",
         "",
+        "**Timer provenance.** Chained rows now use the two-length "
+        "CALIBRATED timer (benchmarks/profile_bat.py::chain_timed), which "
+        "cancels the per-dispatch tunnel overhead exactly; chained rows "
+        "last measured before the calibration (see git history of this "
+        "file) overstate by up to 30ms/K — ~0.6 ms at K=50 (a few percent "
+        "on 10-30 ms train steps), i.e. they are conservative.",
+        "",
         "| Benchmark | Result |",
         "|---|---|",
     ]

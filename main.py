@@ -60,6 +60,11 @@ def parse_args():
                              "host (geometry/iou.py) instead of the default "
                              "pipelined on-device scoring "
                              "(geometry/iou_device.py)")
+    parser.add_argument("--transfer_quant", type=str, default=None,
+                        choices=["int16"],
+                        help="with --tracker scan: ship eval frame points as "
+                             "fixed-point int16 (halved H2D bytes, in-jit "
+                             "dequant; <=2 mm step)")
     return parser.parse_args()
 
 

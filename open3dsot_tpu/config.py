@@ -94,6 +94,12 @@ DEFAULTS: Dict[str, Any] = {
     # raw frames — it is ~10x too slow to build samples itself on 1 core
     "device_sampler": False,
     "max_raw_points": 2048,
+    # scan-eval host->device transfer packing: None ships padded frame
+    # points as f32; 'int16' ships a fixed-point encoding (per-dispatch
+    # offset/scale, <=2mm quantization at +/-64 m extent) and dequantizes
+    # inside the jitted scan — halves eval H2D bytes for links where
+    # transfer binds (this environment's tunnel; see BENCH_E2E_EVAL.md)
+    "transfer_quant": None,
 }
 
 

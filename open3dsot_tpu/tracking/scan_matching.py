@@ -50,7 +50,12 @@ class MatchScanTracker:
 
     def __init__(self, model, variables, config, max_points: int = 4096,
                  first_crop_points: int = 1024, frame_bucket: int = 16,
-                 mesh=None):
+                 mesh=None, transfer_dtype=None):
+        # 'int16' ships fixed-point frame points (halved H2D bytes,
+        # dequantized in-jit, scan_tracker._quantize_pts); None = exact f32
+        if transfer_dtype is None:
+            transfer_dtype = getattr(config, "transfer_quant", None)
+        self.transfer_dtype = transfer_dtype
         assert "FIRSTANDPREVIOUS" in config.shape_aggregation.upper(), (
             f"scan path supports shape_aggregation='firstandprevious' only "
             f"(got {config.shape_aggregation!r}); use the host tracker "
@@ -151,8 +156,14 @@ class MatchScanTracker:
             )
             return jnp.swapaxes(boxes, 0, 1)  # (B, T-1, 4)
 
+        if self.transfer_dtype is not None:
+            from open3dsot_tpu.tracking.scan_tracker import _dequant_entry
+
+            entry_fn, n_repl = _dequant_entry(track_fn), 3
+        else:
+            entry_fn, n_repl = track_fn, 1
         if mesh is None:
-            self._track = jax.jit(track_fn)
+            self._track = jax.jit(entry_fn)
             self._mesh_size = 1
         else:
             # shard the tracklet batch over the 'data' mesh axis — the frame
@@ -163,9 +174,22 @@ class MatchScanTracker:
             from open3dsot_tpu.parallel import shard_map_batch
 
             self._track = jax.jit(
-                shard_map_batch(track_fn, mesh, n_replicated=1, n_batched=6)
+                shard_map_batch(entry_fn, mesh, n_replicated=n_repl,
+                                n_batched=6)
             )
             self._mesh_size = mesh.devices.size
+
+    def _dispatch_track(self, pts, *rest):
+        """Ship (pts, *rest) and run the compiled scan; transfer_dtype
+        'int16' fixed-point-packs the points (halved H2D bytes)."""
+        from open3dsot_tpu.tracking.scan_tracker import _quantize_pts
+
+        args = [jnp.asarray(a) for a in rest]
+        if self.transfer_dtype is None:
+            return self._track(self.variables, jnp.asarray(pts), *args)
+        q, scale, off = _quantize_pts(pts)
+        return self._track(self.variables, jnp.asarray(scale),
+                           jnp.asarray(off), jnp.asarray(q), *args)
 
     # --- host driver ------------------------------------------------------
     def _bucket_len(self, T: int) -> int:
@@ -216,11 +240,7 @@ class MatchScanTracker:
         (sequences, B_real, _, pts, valid, wlh, init,
          first_pts, first_valid) = self._prepare(sequences)
         boxes = np.asarray(
-            self._track(
-                self.variables,
-                jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(wlh),
-                jnp.asarray(init), jnp.asarray(first_pts), jnp.asarray(first_valid),
-            )
+            self._dispatch_track(pts, valid, wlh, init, first_pts, first_valid)
         )
         return [
             boxes[b, : len(seq) - 1]
@@ -238,11 +258,8 @@ class MatchScanTracker:
         (sequences, B_real, T_pad, pts, valid, wlh, init,
          first_pts, first_valid) = self._prepare(sequences)
         gt_params, gt_wlh = _gt_arrays(sequences, T_pad, self._A_np)
-        boxes = self._track(
-            self.variables,
-            jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(wlh),
-            jnp.asarray(init), jnp.asarray(first_pts), jnp.asarray(first_valid),
-        )
+        boxes = self._dispatch_track(pts, valid, wlh, init,
+                                     first_pts, first_valid)
         if self._scorer is None:
             self._scorer = _make_scorer(self.config)
         iou, dist = self._scorer(

@@ -85,6 +85,32 @@ def _select_fixed(points: jnp.ndarray, valid: jnp.ndarray, n: int,
     return jnp.where(count[..., None] > 0, out, jnp.zeros_like(out))
 
 
+def _quantize_pts(pts: np.ndarray):
+    """Fixed-point-encode padded frame points for transfer (config
+    transfer_quant='int16'): per-dispatch midrange offset + symmetric int16
+    scale, so dequantization `q * scale + off` is one fused device op. The
+    quantization step is extent/32766 (<=2 mm at +/-64 m), well under lidar
+    noise; exactness-sensitive paths keep the default f32 transfer."""
+    flat = pts.reshape(-1, 3)
+    lo = flat.min(axis=0)
+    hi = flat.max(axis=0)
+    off = ((lo + hi) * 0.5).astype(np.float32)
+    scale = np.float32(max(np.abs(flat - off).max() / 32766.0, 1e-6))
+    q = np.rint((pts - off) / scale).astype(np.int16)
+    return q, scale, off
+
+
+def _dequant_entry(track_fn):
+    """Wrap a track_fn to accept (variables, scale, off, q, *rest) with the
+    dequantization running on device inside the jit."""
+
+    def entry(variables, scale, off, q, *rest):
+        pts = q.astype(jnp.float32) * scale + off
+        return track_fn(variables, pts, *rest)
+
+    return entry
+
+
 def _gt_arrays(sequences, T_pad: int, A_np):
     """Ground-truth (B, T_pad, 4) params + (B, T_pad, 3) wlh for scoring.
 
@@ -158,8 +184,15 @@ class M2ScanTracker:
     """Batched on-device tracker for M2-Track (B tracklets per dispatch)."""
 
     def __init__(self, model, variables, config, max_points: int = 4096,
-                 frame_bucket: int = 16, mesh=None, compute_dtype=None):
+                 frame_bucket: int = 16, mesh=None, compute_dtype=None,
+                 transfer_dtype=None):
         self.model = model
+        # 'int16' ships fixed-point frame points (halved H2D bytes,
+        # dequantized in-jit); None (default) ships exact f32. Falls back to
+        # config.transfer_quant when not given explicitly.
+        if transfer_dtype is None:
+            transfer_dtype = getattr(config, "transfer_quant", None)
+        self.transfer_dtype = transfer_dtype
         if compute_dtype is not None:
             # cast the whole model (params + BN stats) to the compute dtype;
             # geometry/box composition below stays f32
@@ -266,8 +299,12 @@ class M2ScanTracker:
             _, boxes = jax.lax.scan(partial(step, variables, wlh), init_box, xs)
             return jnp.swapaxes(boxes, 0, 1)  # (B, T-1, 4)
 
+        if self.transfer_dtype is not None:
+            entry_fn, n_repl = _dequant_entry(track_fn), 3
+        else:
+            entry_fn, n_repl = track_fn, 1
         if mesh is None:
-            self._track = jax.jit(track_fn)
+            self._track = jax.jit(entry_fn)
             self._mesh_size = 1
         else:
             # shard the tracklet batch over the 'data' mesh axis: the serial
@@ -278,9 +315,20 @@ class M2ScanTracker:
             from open3dsot_tpu.parallel import shard_map_batch
 
             self._track = jax.jit(
-                shard_map_batch(track_fn, mesh, n_replicated=1, n_batched=4)
+                shard_map_batch(entry_fn, mesh, n_replicated=n_repl,
+                                n_batched=4)
             )
             self._mesh_size = mesh.devices.size
+
+    def _dispatch_track(self, pts, *rest):
+        """Ship (pts, *rest) and run the compiled scan; transfer_dtype
+        'int16' fixed-point-packs the points (halved H2D bytes)."""
+        args = [jnp.asarray(a) for a in rest]
+        if self.transfer_dtype is None:
+            return self._track(self.variables, jnp.asarray(pts), *args)
+        q, scale, off = _quantize_pts(pts)
+        return self._track(self.variables, jnp.asarray(scale),
+                           jnp.asarray(off), jnp.asarray(q), *args)
 
     # --- host-side driver -------------------------------------------------
     def _pad_frames(self, sequence, T_pad):
@@ -330,15 +378,7 @@ class M2ScanTracker:
         Returns a list of (T_i - 1, 4) world-frame box parameter arrays.
         """
         sequences, B_real, _, pts, valid, wlh, init = self._prepare(sequences)
-        boxes = np.asarray(
-            self._track(
-                self.variables,
-                jnp.asarray(pts),
-                jnp.asarray(valid),
-                jnp.asarray(wlh),
-                jnp.asarray(init),
-            )
-        )
+        boxes = np.asarray(self._dispatch_track(pts, valid, wlh, init))
         return [boxes[b, : len(seq) - 1] for b, seq in enumerate(sequences[:B_real])]
 
     def dispatch_scored(self, sequences: Sequence[list]):
@@ -352,13 +392,7 @@ class M2ScanTracker:
         """
         sequences, B_real, T_pad, pts, valid, wlh, init = self._prepare(sequences)
         gt_params, gt_wlh = _gt_arrays(sequences, T_pad, self._A_np)
-        boxes = self._track(
-            self.variables,
-            jnp.asarray(pts),
-            jnp.asarray(valid),
-            jnp.asarray(wlh),
-            jnp.asarray(init),
-        )
+        boxes = self._dispatch_track(pts, valid, wlh, init)
         if self._scorer is None:
             self._scorer = _make_scorer(self.config)
         iou, dist = self._scorer(
@@ -402,7 +436,7 @@ class M2ScanTracker:
 
 def evaluate_dataset_scan(model, variables, test_sampler, config,
                           max_points: int = 4096,
-                          batch_tracklets: int = 8,
+                          batch_tracklets: int = 16,
                           max_tracklets: Optional[int] = None,
                           tracker: Optional["M2ScanTracker"] = None,
                           device_metrics: bool = True,
@@ -411,9 +445,11 @@ def evaluate_dataset_scan(model, variables, test_sampler, config,
     """Scan-tracker dataset evaluation; returns (success, precision).
 
     Tracklets are grouped into same-length-bucket batches of up to
-    `batch_tracklets` so each group runs as one device dispatch. Pass a
-    prebuilt `tracker` to reuse its compiled scan across calls (in-training
-    validation); its variables are swapped for the given ones.
+    `batch_tracklets` so each group runs as one device dispatch (default 16
+    — the measured v5e throughput sweet spot, scripts/bench_scan_scaling.py:
+    14.0k/18.4k/17.4k frames/s at 8/16/32). Pass a prebuilt `tracker` to
+    reuse its compiled scan across calls (in-training validation); its
+    variables are swapped for the given ones.
 
     device_metrics=True (default) scores trajectories on device
     (geometry/iou_device.py) with `pipeline_depth` batches in flight —

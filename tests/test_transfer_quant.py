@@ -1,0 +1,77 @@
+"""int16 fixed-point transfer packing for the scan eval paths
+(config.transfer_quant: scan_tracker._quantize_pts + in-jit dequant)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open3dsot_tpu.data import get_dataset
+from open3dsot_tpu.models import get_model
+from open3dsot_tpu.tracking.scan_tracker import M2ScanTracker, _quantize_pts
+
+from tests.test_scan_tracker import m2_cfg
+
+
+def test_quantize_roundtrip_bound():
+    rng = np.random.default_rng(0)
+    pts = (rng.normal(size=(4, 6, 128, 3)) * 20).astype(np.float32)
+    q, scale, off = _quantize_pts(pts)
+    assert q.dtype == np.int16
+    deq = q.astype(np.float32) * scale + off
+    # half a quantization step plus f32 division rounding near .5 boundaries
+    assert np.abs(deq - pts).max() <= scale * 0.501
+    # worst-case step at the documented bound: extent/32766
+    assert scale <= np.abs(pts - off).max() / 32766.0 * 1.0001
+
+
+def test_quantize_degenerate_constant_cloud():
+    pts = np.full((1, 2, 8, 3), 3.25, np.float32)
+    q, scale, off = _quantize_pts(pts)
+    deq = q.astype(np.float32) * scale + off
+    assert np.allclose(deq, pts, atol=1e-5)
+
+
+class TestQuantTracker:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = m2_cfg()
+        model = get_model("m2track")(cfg)
+        variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
+        sampler = get_dataset(cfg, "test", "test")
+        return cfg, model, variables, sampler
+
+    def test_quant_dispatch_equals_host_dequant_through_f32_path(self, setup):
+        """The int16 path must equal the f32 path fed the SAME dequantized
+        points — the only difference is WHERE q*scale+off runs (both IEEE
+        f32), so boxes match exactly."""
+        cfg, model, variables, sampler = setup
+        tr_q = M2ScanTracker(model, variables, cfg, max_points=256,
+                             transfer_dtype="int16")
+        tr_f = M2ScanTracker(model, variables, cfg, max_points=256)
+        seqs = [sampler[0], sampler[1]]
+        _, _, _, pts, valid, wlh, init = tr_f._prepare(seqs)
+        q, scale, off = _quantize_pts(pts)
+        deq = q.astype(np.float32) * np.float32(scale) + off
+        boxes_q = np.asarray(tr_q._dispatch_track(pts, valid, wlh, init))
+        boxes_f = np.asarray(
+            tr_f._track(variables, jnp.asarray(deq), jnp.asarray(valid),
+                        jnp.asarray(wlh), jnp.asarray(init))
+        )
+        assert np.array_equal(boxes_q, boxes_f)
+
+    def test_quant_eval_close_to_exact(self, setup):
+        """<=2mm point quantization should leave the synthetic-set metrics
+        within ordinary drift of the exact-transfer run."""
+        from open3dsot_tpu.tracking.scan_tracker import evaluate_dataset_scan
+
+        cfg, model, variables, sampler = setup
+        tr_q = M2ScanTracker(model, variables, cfg, max_points=256,
+                             transfer_dtype="int16")
+        tr_f = M2ScanTracker(model, variables, cfg, max_points=256)
+        s_q, p_q = evaluate_dataset_scan(model, variables, sampler, cfg,
+                                         tracker=tr_q, max_tracklets=2)
+        s_f, p_f = evaluate_dataset_scan(model, variables, sampler, cfg,
+                                         tracker=tr_f, max_tracklets=2)
+        assert s_q == pytest.approx(s_f, abs=3.0)
+        assert p_q == pytest.approx(p_f, abs=3.0)
