@@ -1,9 +1,23 @@
 """On-device batched tracklet tracker for the matching models (P2B / BAT).
 
 Mirrors the eval semantics of MatchingBaseModel
-(/root/reference/models/base_model.py:166-247) with shape_aggregation
-'firstandprevious' and reference_BB 'previous_result' (the shipped configs),
-but runs the whole tracklet on device in one `lax.scan`:
+(/root/reference/models/base_model.py:166-247) but runs the whole tracklet
+on device in one `lax.scan`. Supported modes:
+
+- shape_aggregation 'firstandprevious' (shipped configs), 'first', and
+  'previous' run on device; 'all' (an unboundedly growing template merge,
+  base_model.py:190-194) stays on the host tracker via the fallback in
+  evaluate_dataset_scan_matching. Note the reference's 'previous' branch is
+  dead code (the `hape_aggregation` typo at base_model.py:186 raises
+  AttributeError); we implement the evident intent, matching our host path.
+- reference_BB 'previous_result' (shipped configs), 'previous_gt', and
+  'current_gt' all run on device: the gt modes ship the per-frame gt box
+  params/wlh as (tiny) extra scan inputs, crop the search region around the
+  gt box, and compose the predicted offset onto it (base_model.py:198-221 +
+  evaluate_one_sample:54) — while the carried prediction chain still feeds
+  template generation, as in the reference loop.
+
+Scan recurrence:
 
 - the first-frame template crop is CONSTANT per tracklet (results_bbs[0] is
   the gt box), so it is cropped once on the host and carried as a fixed
@@ -46,7 +60,9 @@ from open3dsot_tpu.tracking.scan_tracker import _select_fixed
 
 
 class MatchScanTracker:
-    """Batched on-device tracker for P2B/BAT ('firstandprevious' templates)."""
+    """Batched on-device tracker for P2B/BAT (template modes
+    firstandprevious/first/previous; reference_BB modes previous_result/
+    previous_gt/current_gt; 'all' templates fall back to the host path)."""
 
     def __init__(self, model, variables, config, max_points: int = 4096,
                  first_crop_points: int = 1024, frame_bucket: int = 16,
@@ -56,16 +72,36 @@ class MatchScanTracker:
         if transfer_dtype is None:
             transfer_dtype = getattr(config, "transfer_quant", None)
         self.transfer_dtype = transfer_dtype
-        assert "FIRSTANDPREVIOUS" in config.shape_aggregation.upper(), (
-            f"scan path supports shape_aggregation='firstandprevious' only "
-            f"(got {config.shape_aggregation!r}); use the host tracker "
-            f"(tracking/eval.py) for other modes"
-        )
-        assert "PREVIOUS_RESULT" in config.reference_BB.upper(), (
-            f"scan path supports reference_BB='previous_result' only "
-            f"(got {config.reference_BB!r}); use the host tracker "
-            f"(tracking/eval.py) for other modes"
-        )
+        # mode parsing mirrors the reference's substring precedence
+        # (base_model.py:177-194, 208-216 / models/matching_base.py)
+        agg = config.shape_aggregation.upper()
+        if "FIRSTANDPREVIOUS" in agg:
+            agg_mode = "firstandprevious"
+        elif "FIRST" in agg:
+            agg_mode = "first"
+        elif "PREVIOUS" in agg:
+            agg_mode = "previous"
+        else:
+            raise ValueError(
+                f"scan path supports shape_aggregation 'firstandprevious'/"
+                f"'first'/'previous' (got {config.shape_aggregation!r}; "
+                f"'all' grows the template merge unboundedly — use the host "
+                f"tracker, tracking/eval.py)"
+            )
+        ref_mode_s = config.reference_BB.upper()
+        if "PREVIOUS_RESULT" in ref_mode_s:
+            ref_mode = "previous_result"
+        elif "PREVIOUS_GT" in ref_mode_s:
+            ref_mode = "previous_gt"
+        elif "CURRENT_GT" in ref_mode_s:
+            ref_mode = "current_gt"
+        else:
+            raise ValueError(
+                f"unknown reference_BB {config.reference_BB!r}"
+            )
+        self._agg_mode = agg_mode
+        self._ref_mode = ref_mode
+        self._gt_mode = ref_mode != "previous_result"
         if bool(getattr(config, "limit_box", False)):
             # the scan path replaces the reference's host-RNG uniform(-1,1)
             # re-draw with a deterministic 0 (rigid.limit_box_offset) —
@@ -107,22 +143,46 @@ class MatchScanTracker:
             )
             return local, inside & pad_valid
 
+        agg_mode = self._agg_mode
+        gt_mode = self._gt_mode
+
         def step(variables, wlh, first_pts, first_valid, carry, xs):
-            ref_box = carry  # (B, 4)
-            prev_pts, prev_valid, this_pts, this_valid = xs
+            ref_box = carry  # (B, 4) — results_bbs[t-1], the prediction chain
+            prev_pts, prev_valid, this_pts, this_valid = xs[:4]
             B = ref_box.shape[0]
             half_wlh = jnp.stack([wlh[:, 1], wlh[:, 0], wlh[:, 2]], axis=-1) / 2.0
 
-            # template = first-frame crop (constant) U prev-frame crop
+            # template crops use the carried prediction (results_bbs chain)
+            # in every reference_BB mode (base_model.py:166-194)
             m_half = half_wlh * m_scale + m_offset
-            prev_local, prev_ok = crop_local(prev_pts, prev_valid, ref_box, m_half)
-            merged_pts = jnp.concatenate([first_pts, prev_local], axis=1)
-            merged_ok = jnp.concatenate([first_valid, prev_ok], axis=1)
-            template = _select_fixed(merged_pts, merged_ok, t_size, mode=resample)  # (B, t, 3)
+            if agg_mode == "first":
+                # constant first-frame crop; XLA hoists it out of the scan
+                template = _select_fixed(first_pts, first_valid, t_size,
+                                         mode=resample)
+            else:
+                prev_local, prev_ok = crop_local(prev_pts, prev_valid,
+                                                 ref_box, m_half)
+                if agg_mode == "previous":
+                    template = _select_fixed(prev_local, prev_ok, t_size,
+                                             mode=resample)
+                else:  # firstandprevious: first crop (constant) U prev crop
+                    merged_pts = jnp.concatenate([first_pts, prev_local], axis=1)
+                    merged_ok = jnp.concatenate([first_valid, prev_ok], axis=1)
+                    template = _select_fixed(merged_pts, merged_ok, t_size,
+                                             mode=resample)  # (B, t, 3)
 
-            # search region around the carried box
-            s_half = half_wlh * s_scale + s_offset
-            this_local, this_ok = crop_local(this_pts, this_valid, ref_box, s_half)
+            # search region: around the carried box, or around the per-frame
+            # gt box in the gt reference_BB modes (base_model.py:208-216)
+            if gt_mode:
+                search_ref, ref_wlh = xs[4], xs[5]
+                s_half_wlh = jnp.stack(
+                    [ref_wlh[:, 1], ref_wlh[:, 0], ref_wlh[:, 2]], axis=-1
+                ) / 2.0
+            else:
+                search_ref, s_half_wlh = ref_box, half_wlh
+            s_half = s_half_wlh * s_scale + s_offset
+            this_local, this_ok = crop_local(this_pts, this_valid,
+                                             search_ref, s_half)
             search = _select_fixed(this_local, this_ok, s_size, mode=resample)  # (B, s, 3)
 
             batch = {"template_points": template, "search_points": search}
@@ -140,17 +200,29 @@ class MatchScanTracker:
             if limit_box:
                 # deterministic emulation of the host RNG re-draw
                 # (rigid.limit_box_offset; reference points_utils.py:70-76)
-                offset = rigid.limit_box_offset(offset, wlh, use_z)
-            new_ref = rigid.get_offset_box(ref_box, offset, A=A)
+                offset = rigid.limit_box_offset(
+                    offset, ref_wlh if gt_mode else wlh, use_z
+                )
+            # the offset composes onto the search reference box — the carried
+            # prediction OR the gt box in gt modes (evaluate_one_sample:54)
+            new_ref = rigid.get_offset_box(search_ref, offset, A=A)
             return new_ref, new_ref
 
-        def track_fn(variables, pts, valid, wlh, init_box, first_pts, first_valid):
+        def track_fn(variables, pts, valid, wlh, init_box, first_pts,
+                     first_valid, *gt_args):
             xs = (
                 jnp.swapaxes(pts[:, :-1], 0, 1),
                 jnp.swapaxes(valid[:, :-1], 0, 1),
                 jnp.swapaxes(pts[:, 1:], 0, 1),
                 jnp.swapaxes(valid[:, 1:], 0, 1),
             )
+            if gt_mode:
+                gt_params, gt_wlh = gt_args
+                sl = slice(None, -1) if ref_mode == "previous_gt" else slice(1, None)
+                xs = xs + (
+                    jnp.swapaxes(gt_params[:, sl], 0, 1),
+                    jnp.swapaxes(gt_wlh[:, sl], 0, 1),
+                )
             _, boxes = jax.lax.scan(
                 partial(step, variables, wlh, first_pts, first_valid), init_box, xs
             )
@@ -175,7 +247,7 @@ class MatchScanTracker:
 
             self._track = jax.jit(
                 shard_map_batch(entry_fn, mesh, n_replicated=n_repl,
-                                n_batched=6)
+                                n_batched=8 if self._gt_mode else 6)
             )
             self._mesh_size = mesh.devices.size
 
@@ -236,11 +308,21 @@ class MatchScanTracker:
         return (sequences, B_real, T_pad,
                 pts, valid, wlh, init, first_pts, first_valid)
 
+    def _gt_args(self, sequences, T_pad):
+        """Per-frame gt box params/wlh, required as scan inputs by the gt
+        reference_BB modes ('previous_gt'/'current_gt')."""
+        from open3dsot_tpu.tracking.scan_tracker import _gt_arrays
+
+        gt_params, gt_wlh = _gt_arrays(sequences, T_pad, self._A_np)
+        return gt_params, gt_wlh
+
     def track_batch(self, sequences: Sequence[list]) -> List[np.ndarray]:
-        (sequences, B_real, _, pts, valid, wlh, init,
+        (sequences, B_real, T_pad, pts, valid, wlh, init,
          first_pts, first_valid) = self._prepare(sequences)
+        gt = self._gt_args(sequences, T_pad) if self._gt_mode else ()
         boxes = np.asarray(
-            self._dispatch_track(pts, valid, wlh, init, first_pts, first_valid)
+            self._dispatch_track(pts, valid, wlh, init,
+                                 first_pts, first_valid, *gt)
         )
         return [
             boxes[b, : len(seq) - 1]
@@ -253,13 +335,14 @@ class MatchScanTracker:
         Returns (iou_dev (B_real, T_pad), dist_dev) device arrays; see
         scan_tracker.pipelined_scores for the overlapped eval loop.
         """
-        from open3dsot_tpu.tracking.scan_tracker import _gt_arrays, _make_scorer
+        from open3dsot_tpu.tracking.scan_tracker import _make_scorer
 
         (sequences, B_real, T_pad, pts, valid, wlh, init,
          first_pts, first_valid) = self._prepare(sequences)
-        gt_params, gt_wlh = _gt_arrays(sequences, T_pad, self._A_np)
+        gt_params, gt_wlh = self._gt_args(sequences, T_pad)
+        gt = (gt_params, gt_wlh) if self._gt_mode else ()
         boxes = self._dispatch_track(pts, valid, wlh, init,
-                                     first_pts, first_valid)
+                                     first_pts, first_valid, *gt)
         if self._scorer is None:
             self._scorer = _make_scorer(self.config)
         iou, dist = self._scorer(
@@ -311,9 +394,8 @@ def evaluate_dataset_scan_matching(model, variables, test_sampler, config,
 
     Pass a prebuilt `tracker` to reuse its compiled scan across calls
     (in-training validation); its variables are swapped for the given ones.
-    Configs the scan path cannot serve (shape_aggregation/reference_BB modes
-    other than firstandprevious/previous_result, unsupported up_axis) fall
-    back to the host fidelity tracker with a logged warning.
+    Configs the scan path cannot serve (shape_aggregation='all', unsupported
+    up_axis) fall back to the host fidelity tracker with a logged warning.
 
     device_metrics / pipeline_depth / shard_across_processes as in
     scan_tracker.evaluate_dataset_scan.

@@ -133,3 +133,162 @@ class TestLimitBox:
         assert np.allclose(np.asarray(out), [[0.0, 0.0, 0.0, 0.0]])
         out = rigid.limit_box_offset(off(0.0, 0.0, 2.0, 0.0), wlh, use_z=False)
         assert np.allclose(np.asarray(out), [[0.0, 0.0, 2.0, 0.0]])
+
+
+class TestAggregationAndRefModes:
+    """Scan-path support for shape_aggregation first/previous and
+    reference_BB previous_gt/current_gt (reference base_model.py:166-221)."""
+
+    def _tracker(self, cfg, variables=None, model=None):
+        if model is None:
+            model = get_model(cfg.net_model)(cfg)
+        if variables is None:
+            variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
+        return model, variables, MatchScanTracker(
+            model, variables, cfg, max_points=1024, first_crop_points=256
+        )
+
+    @pytest.mark.parametrize("agg,ref", [
+        ("first", "previous_result"),
+        ("previous", "previous_result"),
+        ("firstandprevious", "previous_gt"),
+        ("firstandprevious", "current_gt"),
+        ("first", "current_gt"),
+    ])
+    def test_mode_runs_and_scores(self, agg, ref):
+        cfg = cfg_for("p2b", shape_aggregation=agg, reference_BB=ref)
+        _, _, tracker = self._tracker(cfg)
+        sampler = get_dataset(cfg, "test", "test")
+        ious, distances, boxes = tracker.evaluate_one_sequence(sampler[0], cfg)
+        assert len(ious) == len(sampler[0])
+        assert all(0.0 <= v <= 1.0 for v in ious)
+        assert all(np.isfinite(v) for v in distances)
+
+    def test_modes_actually_differ(self):
+        """The three template modes must produce different trajectories on
+        the same data (they crop different point sets)."""
+        sampler = None
+        outs = {}
+        for agg in ("firstandprevious", "first", "previous"):
+            cfg = cfg_for("p2b", shape_aggregation=agg)
+            model = get_model("p2b")(cfg)
+            variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
+            if sampler is None:
+                sampler = get_dataset(cfg, "test", "test")
+            tracker = MatchScanTracker(model, variables, cfg, max_points=1024,
+                                       first_crop_points=256)
+            outs[agg] = tracker.track_batch([sampler[0]])[0]
+        assert not np.allclose(outs["firstandprevious"], outs["first"])
+        assert not np.allclose(outs["firstandprevious"], outs["previous"])
+        assert not np.allclose(outs["first"], outs["previous"])
+
+    def test_gt_modes_break_error_propagation(self):
+        """With reference_BB='current_gt' and shape_aggregation='first' each
+        frame depends only on (first crop, this frame, this gt): perturbing
+        one mid-tracklet frame's points must change ONLY that frame's box,
+        while the default previous_result recurrence propagates the change
+        downstream."""
+        import copy
+
+        def run(cfg, seq):
+            model = get_model("p2b")(cfg)
+            variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
+            tracker = MatchScanTracker(model, variables, cfg, max_points=1024,
+                                       first_crop_points=256)
+            return tracker.track_batch([seq])[0]
+
+        cfg_gt = cfg_for("p2b", shape_aggregation="first",
+                         reference_BB="current_gt", syn_tracklet_len=5)
+        sampler = get_dataset(cfg_gt, "test", "test")
+        seq = sampler[0]
+        seq_pert = copy.deepcopy(seq)
+        # perturb frame 2's raw points (boxes untouched)
+        seq_pert[2]["pc"].points = (
+            seq_pert[2]["pc"].points + np.float32(0.05)
+        )
+        boxes_a = run(cfg_gt, seq)
+        boxes_b = run(cfg_gt, seq_pert)
+        # boxes[t] tracks frame t+1: only frame 2 (boxes[1]) may change
+        assert np.allclose(boxes_a[0], boxes_b[0], atol=1e-6)
+        assert not np.allclose(boxes_a[1], boxes_b[1])
+        assert np.allclose(boxes_a[2:], boxes_b[2:], atol=1e-6)
+
+        cfg_pr = cfg_for("p2b", shape_aggregation="firstandprevious",
+                         reference_BB="previous_result", syn_tracklet_len=5)
+        boxes_c = run(cfg_pr, seq)
+        boxes_d = run(cfg_pr, seq_pert)
+        # the recurrence propagates: some later box must also change
+        assert not np.allclose(boxes_c[1:], boxes_d[1:], atol=1e-6)
+
+    def test_prev_gt_vs_current_gt_differ_and_compose_on_gt(self):
+        """previous_gt crops/composes on frame t-1's gt, current_gt on frame
+        t's gt: on a moving synthetic object the trajectories must differ,
+        and every predicted center must stay within the search region of its
+        gt anchor (the offset is bounded by the proposal range)."""
+        cfg_p = cfg_for("p2b", reference_BB="previous_gt")
+        cfg_c = cfg_for("p2b", reference_BB="current_gt")
+        model = get_model("p2b")(cfg_p)
+        variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
+        sampler = get_dataset(cfg_p, "test", "test")
+        seq = sampler[0]
+        tr_p = MatchScanTracker(model, variables, cfg_p, max_points=1024,
+                                first_crop_points=256)
+        tr_c = MatchScanTracker(model, variables, cfg_c, max_points=1024,
+                                first_crop_points=256)
+        boxes_p = tr_p.track_batch([seq])[0]
+        boxes_c = tr_c.track_batch([seq])[0]
+        gt_centers = np.stack(
+            [f["3d_bbox"].center for f in seq]
+        )
+        moved = np.linalg.norm(np.diff(gt_centers, axis=0), axis=1).max() > 1e-3
+        if moved:
+            assert not np.allclose(boxes_p, boxes_c)
+        # composition anchor: predictions stay near their gt anchor
+        for t in range(len(seq) - 1):
+            anchor_p = gt_centers[t]      # previous_gt anchors on frame t
+            anchor_c = gt_centers[t + 1]  # current_gt anchors on frame t+1
+            assert np.linalg.norm(boxes_p[t][:3] - anchor_p) < 5.0
+            assert np.linalg.norm(boxes_c[t][:3] - anchor_c) < 5.0
+
+    def test_all_mode_falls_back_to_host(self):
+        """shape_aggregation='all' has no scan path (unbounded template
+        merge); the dataset driver must fall back to the host tracker and
+        return its exact metrics."""
+        from open3dsot_tpu.tracking.eval import evaluate_dataset
+        from open3dsot_tpu.tracking.scan_matching import (
+            evaluate_dataset_scan_matching,
+        )
+
+        cfg = cfg_for("p2b", shape_aggregation="all")
+        model = get_model("p2b")(cfg)
+        variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
+        sampler = get_dataset(cfg, "test", "test")
+        s_scan, p_scan = evaluate_dataset_scan_matching(
+            model, variables, sampler, cfg, max_tracklets=1
+        )
+        s_host, p_host = evaluate_dataset(
+            model, variables, sampler, cfg, max_tracklets=1
+        )
+        assert s_scan == pytest.approx(s_host)
+        assert p_scan == pytest.approx(p_host)
+
+    def test_gt_mode_on_mesh(self):
+        """The gt reference_BB modes carry two extra batched scan inputs;
+        the shard_map mesh path must shard them too and agree with the
+        unsharded run."""
+        from jax.sharding import Mesh
+
+        cfg = cfg_for("p2b", reference_BB="previous_gt")
+        model = get_model("p2b")(cfg)
+        variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
+        sampler = get_dataset(cfg, "test", "test")
+        seqs = [sampler[0], sampler[1]]
+        mesh = Mesh(np.asarray(jax.devices()[:2]), ("data",))
+        tr_mesh = MatchScanTracker(model, variables, cfg, max_points=1024,
+                                   first_crop_points=256, mesh=mesh)
+        tr_one = MatchScanTracker(model, variables, cfg, max_points=1024,
+                                  first_crop_points=256)
+        got = tr_mesh.track_batch(seqs)
+        want = tr_one.track_batch(seqs)
+        for g, w in zip(got, want):
+            assert np.allclose(g, w, atol=1e-5)
