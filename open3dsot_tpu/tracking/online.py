@@ -1,0 +1,277 @@
+"""Online (streaming) tracking API — the serving-side counterpart of the
+offline scan trackers.
+
+The reference can only evaluate a tracklet it already has in full
+(/root/reference/models/base_model.py:59-86 iterates a stored sequence); a
+deployed tracker instead receives frames one at a time, for many objects at
+once. This module provides that surface, TPU-style:
+
+- a fixed pool of `max_streams` slots so the per-frame step compiles ONCE to
+  a static (B, P, 3) shape and every dispatch advances ALL active streams;
+- device-resident recurrent state (carried box, previous frame, per-slot
+  frame counter, template buffers) — each `step()` ships only the NEW frame
+  per slot (P*3 floats) host->device and returns 4 floats per slot;
+- the per-frame step function is THE SAME ONE the offline scan trackers run
+  inside `lax.scan` (scan_tracker.make_m2_step / scan_matching.
+  make_match_step), so online trajectories equal the offline scan
+  trajectories to compile-level float reassociation (~1e-6 per step; the
+  M2 path measures bit-exact on CPU) — tests/test_online.py;
+- slot resets (new tracklet enters) are a second jitted function taking the
+  slot index as a traced scalar — one compile serves any slot.
+
+Matching models online are restricted to reference_BB='previous_result'
+(the gt modes need per-frame ground truth, which does not exist at serving
+time); all three on-device shape_aggregation template modes work.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from open3dsot_tpu.geometry import points_utils, rigid
+
+
+def _pad_one(p: np.ndarray, P: int):
+    """Pad/truncate one frame's (N, 3) points to (P, 3) + validity mask.
+
+    Same policy as the scan trackers' host padding (scan_tracker.
+    M2ScanTracker._pad_frames): frames larger than P keep the P points
+    closest (L-inf) to the median, which tracks the object in
+    preload-cropped frames.
+    """
+    p = np.asarray(p, np.float32).reshape(-1, 3)
+    if len(p) > P:
+        center = np.median(p, axis=0, keepdims=True)
+        d = np.max(np.abs(p - center), axis=1)
+        p = p[np.argsort(d, kind="stable")[:P]]
+    out = np.zeros((P, 3), np.float32)
+    valid = np.zeros((P,), bool)
+    out[: len(p)] = p
+    valid[: len(p)] = True
+    return out, valid
+
+
+class _OnlineBase:
+    """Slot pool + device-state plumbing shared by both model families."""
+
+    def __init__(self, model, variables, config, max_streams: int,
+                 max_points: int):
+        self.model = model
+        self.variables = variables
+        self.config = config
+        self.max_streams = int(max_streams)
+        self.max_points = int(max_points)
+        A = rigid.up_frame(config.up_axis)
+        self._A = A
+        self._A_np = None if A is None else np.asarray(A)
+        self._active = np.zeros((self.max_streams,), bool)
+        self._state = None  # device pytree, built by subclass
+
+    # -- slot bookkeeping ---------------------------------------------------
+    def free_slots(self):
+        return [i for i in range(self.max_streams) if not self._active[i]]
+
+    def stop(self, slot: int):
+        """Release a slot (its state is left in place but ignored)."""
+        self._active[slot] = False
+
+    def _init_params(self, box):
+        theta0 = rigid.theta_from_rotation(box.rotation_matrix, self._A_np)
+        return np.append(box.center, theta0).astype(np.float32)
+
+    # -- serving API ----------------------------------------------------------
+    def step(self, frames: Dict[int, np.ndarray]) -> Dict[int, np.ndarray]:
+        """Advance every active stream by one frame.
+
+        frames maps slot -> (N_i, 3) world-frame points of that stream's new
+        frame; every active slot must be fed (a missed sensor frame should be
+        sent as an empty array — the trackers already handle zero-point
+        frames like the datasets' missing-frame fallback). Returns
+        slot -> predicted world-frame (cx, cy, cz, theta) for the new frame.
+        """
+        missing = [s for s in range(self.max_streams)
+                   if self._active[s] and s not in frames]
+        if missing:
+            raise ValueError(f"active slots {missing} got no frame")
+        P = self.max_points
+        pts = np.zeros((self.max_streams, P, 3), np.float32)
+        valid = np.zeros((self.max_streams, P), bool)
+        for slot, p in frames.items():
+            if not self._active[slot]:
+                raise ValueError(f"slot {slot} is not active; call reset()")
+            pts[slot], valid[slot] = _pad_one(p, P)
+        self._state, boxes = self._advance(
+            self.variables, self._state, jnp.asarray(pts), jnp.asarray(valid)
+        )
+        boxes = np.asarray(boxes)
+        return {slot: boxes[slot] for slot in frames}
+
+    def current_box(self, slot: int) -> np.ndarray:
+        """Last predicted (or initial) world-frame params of a slot."""
+        return np.asarray(self._state["ref"][slot])
+
+
+class OnlineM2Tracker(_OnlineBase):
+    """Streaming M2-Track: `reset(slot, first_points, first_box)` then one
+    `step({slot: new_points})` per incoming frame."""
+
+    def __init__(self, model, variables, config, max_streams: int = 8,
+                 max_points: int = 1024):
+        super().__init__(model, variables, config, max_streams, max_points)
+        from open3dsot_tpu.tracking.scan_tracker import make_m2_step
+
+        step = make_m2_step(model, config, self._A,
+                            bool(getattr(config, "box_aware", False)))
+        B, P = self.max_streams, self.max_points
+        self._state = {
+            "ref": jnp.zeros((B, 4), jnp.float32),
+            "prev_pts": jnp.zeros((B, P, 3), jnp.float32),
+            "prev_valid": jnp.zeros((B, P), bool),
+            "idx": jnp.zeros((B,), jnp.int32),
+            "wlh": jnp.ones((B, 3), jnp.float32),
+        }
+
+        @jax.jit
+        def advance(variables, state, new_pts, new_valid):
+            xs = (state["prev_pts"], state["prev_valid"], new_pts, new_valid,
+                  state["idx"][:, None])  # per-slot counter, (B,1) broadcast
+            new_ref, _ = step(variables, state["wlh"], state["ref"], xs)
+            new_state = dict(
+                ref=new_ref, prev_pts=new_pts, prev_valid=new_valid,
+                idx=state["idx"] + 1, wlh=state["wlh"],
+            )
+            return new_state, new_ref
+
+        @jax.jit
+        def reset_slot(state, slot, pts, valid, wlh, init):
+            return dict(
+                ref=state["ref"].at[slot].set(init),
+                prev_pts=state["prev_pts"].at[slot].set(pts),
+                prev_valid=state["prev_valid"].at[slot].set(valid),
+                idx=state["idx"].at[slot].set(0),
+                wlh=state["wlh"].at[slot].set(wlh),
+            )
+
+        self._advance = advance
+        self._reset_slot = reset_slot
+
+    def reset(self, slot: int, points: np.ndarray, box):
+        """Start tracking in `slot`: `points` is the first frame's (N, 3)
+        cloud, `box` the first-frame geometry.Box (as in the reference eval
+        loop, results_bbs[0] is the given first box)."""
+        pts, valid = _pad_one(points, self.max_points)
+        self._state = self._reset_slot(
+            self._state, slot, jnp.asarray(pts), jnp.asarray(valid),
+            jnp.asarray(box.wlh, jnp.float32),
+            jnp.asarray(self._init_params(box)),
+        )
+        self._active[slot] = True
+
+
+class OnlineMatchTracker(_OnlineBase):
+    """Streaming P2B/BAT. The first-frame template crop is computed once at
+    `reset` (host, like the offline tracker) and carried on device."""
+
+    def __init__(self, model, variables, config, max_streams: int = 8,
+                 max_points: int = 1024, first_crop_points: int = 1024):
+        super().__init__(model, variables, config, max_streams, max_points)
+        from open3dsot_tpu.tracking.scan_matching import (
+            MatchScanTracker, make_match_step,
+        )
+
+        if "PREVIOUS_RESULT" not in config.reference_BB.upper():
+            raise ValueError(
+                f"online tracking requires reference_BB='previous_result' "
+                f"(got {config.reference_BB!r}): the gt modes need per-frame "
+                f"ground truth, which does not exist at serving time"
+            )
+        agg = config.shape_aggregation.upper()
+        if "FIRSTANDPREVIOUS" in agg:
+            agg_mode = "firstandprevious"
+        elif "FIRST" in agg:
+            agg_mode = "first"
+        elif "PREVIOUS" in agg:
+            agg_mode = "previous"
+        else:
+            raise ValueError(
+                f"online tracking supports shape_aggregation "
+                f"'firstandprevious'/'first'/'previous' "
+                f"(got {config.shape_aggregation!r})"
+            )
+        is_bat = hasattr(model.net, "bc_channel") or model.name == "bat"
+        step = make_match_step(model, config, self._A, is_bat, agg_mode,
+                               gt_mode=False)
+        self.first_crop_points = int(first_crop_points)
+        B, P, P1 = self.max_streams, self.max_points, self.first_crop_points
+        self._state = {
+            "ref": jnp.zeros((B, 4), jnp.float32),
+            "prev_pts": jnp.zeros((B, P, 3), jnp.float32),
+            "prev_valid": jnp.zeros((B, P), bool),
+            "first_pts": jnp.zeros((B, P1, 3), jnp.float32),
+            "first_valid": jnp.zeros((B, P1), bool),
+            "wlh": jnp.ones((B, 3), jnp.float32),
+        }
+
+        @jax.jit
+        def advance(variables, state, new_pts, new_valid):
+            xs = (state["prev_pts"], state["prev_valid"], new_pts, new_valid)
+            new_ref, _ = step(variables, state["wlh"], state["first_pts"],
+                              state["first_valid"], state["ref"], xs)
+            new_state = dict(state, ref=new_ref, prev_pts=new_pts,
+                             prev_valid=new_valid)
+            return new_state, new_ref
+
+        @jax.jit
+        def reset_slot(state, slot, pts, valid, fpts, fvalid, wlh, init):
+            return dict(
+                ref=state["ref"].at[slot].set(init),
+                prev_pts=state["prev_pts"].at[slot].set(pts),
+                prev_valid=state["prev_valid"].at[slot].set(valid),
+                first_pts=state["first_pts"].at[slot].set(fpts),
+                first_valid=state["first_valid"].at[slot].set(fvalid),
+                wlh=state["wlh"].at[slot].set(wlh),
+            )
+
+        self._advance = advance
+        self._reset_slot = reset_slot
+
+    def reset(self, slot: int, pc, box):
+        """Start tracking in `slot`: `pc` is the first frame's PointCloud (or
+        (N, 3) array), `box` the first-frame geometry.Box. Computes the
+        constant first-frame template crop exactly like the offline tracker
+        (MatchScanTracker._prepare)."""
+        from open3dsot_tpu.geometry.data_classes import PointCloud
+
+        cfg = self.config
+        if not isinstance(pc, PointCloud):
+            pc = PointCloud(np.asarray(pc, np.float32).reshape(-1, 3).T)
+        crop, _ = points_utils.cropAndCenterPC(
+            pc, box, scale=cfg.model_bb_scale, offset=cfg.model_bb_offset,
+        )
+        P1 = self.first_crop_points
+        fp = crop.points.T.astype(np.float32)[:P1]
+        fpts = np.zeros((P1, 3), np.float32)
+        fvalid = np.zeros((P1,), bool)
+        fpts[: len(fp)] = fp
+        fvalid[: len(fp)] = True
+        pts, valid = _pad_one(pc.points.T, self.max_points)
+        self._state = self._reset_slot(
+            self._state, slot, jnp.asarray(pts), jnp.asarray(valid),
+            jnp.asarray(fpts), jnp.asarray(fvalid),
+            jnp.asarray(box.wlh, jnp.float32),
+            jnp.asarray(self._init_params(box)),
+        )
+        self._active[slot] = True
+
+
+def make_online_tracker(model, variables, config, **kw):
+    """Factory: the right online tracker for the config's model family."""
+    if getattr(model, "name", "") == "m2track" or not hasattr(
+        config, "search_size"
+    ):
+        return OnlineM2Tracker(model, variables, config, **kw)
+    return OnlineMatchTracker(model, variables, config, **kw)

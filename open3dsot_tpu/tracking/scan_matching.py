@@ -59,6 +59,101 @@ from open3dsot_tpu.geometry.quaternion import Quaternion
 from open3dsot_tpu.tracking.scan_tracker import _select_fixed
 
 
+def make_match_step(model, config, A, is_bat, agg_mode, gt_mode):
+    """Build the single-frame P2B/BAT step used by BOTH the offline scan
+    tracker (inside `lax.scan`) and the online serving tracker
+    (tracking/online.py) — sharing one function makes their trajectories
+    exactly equal by construction.
+
+    Returns step(variables, wlh, first_pts, first_valid, carry, xs) with
+    carry = ref_box (B, 4) and xs = (prev_pts, prev_valid, this_pts,
+    this_valid[, gt_params_t, gt_wlh_t]); mirrors
+    MatchingBaseModel.build_input_dict + evaluate_one_sample
+    (/root/reference/models/base_model.py:166-247, 44-57).
+    """
+    m_scale = float(config.model_bb_scale)
+    m_offset = float(config.model_bb_offset)
+    s_scale = float(config.search_bb_scale)
+    s_offset = float(config.search_bb_offset)
+    t_size = int(config.template_size)
+    s_size = int(config.search_size)
+    resample = getattr(config, "scan_resample", "strided")
+    degrees = bool(config.degrees)
+    use_z = bool(config.use_z)
+    limit_box = bool(getattr(config, "limit_box", False))
+
+    def crop_local(pts, pad_valid, ref_box, half):
+        local = rigid.remove_transform_points(pts, ref_box, A=A)
+        inside = jnp.all(
+            (local < half[:, None, :]) & (local > -half[:, None, :]), axis=-1
+        )
+        return local, inside & pad_valid
+
+    def step(variables, wlh, first_pts, first_valid, carry, xs):
+        ref_box = carry  # (B, 4) — results_bbs[t-1], the prediction chain
+        prev_pts, prev_valid, this_pts, this_valid = xs[:4]
+        B = ref_box.shape[0]
+        half_wlh = jnp.stack([wlh[:, 1], wlh[:, 0], wlh[:, 2]], axis=-1) / 2.0
+
+        # template crops use the carried prediction (results_bbs chain)
+        # in every reference_BB mode (base_model.py:166-194)
+        m_half = half_wlh * m_scale + m_offset
+        if agg_mode == "first":
+            # constant first-frame crop; XLA hoists it out of the scan
+            template = _select_fixed(first_pts, first_valid, t_size,
+                                     mode=resample)
+        else:
+            prev_local, prev_ok = crop_local(prev_pts, prev_valid,
+                                             ref_box, m_half)
+            if agg_mode == "previous":
+                template = _select_fixed(prev_local, prev_ok, t_size,
+                                         mode=resample)
+            else:  # firstandprevious: first crop (constant) U prev crop
+                merged_pts = jnp.concatenate([first_pts, prev_local], axis=1)
+                merged_ok = jnp.concatenate([first_valid, prev_ok], axis=1)
+                template = _select_fixed(merged_pts, merged_ok, t_size,
+                                         mode=resample)  # (B, t, 3)
+
+        # search region: around the carried box, or around the per-frame
+        # gt box in the gt reference_BB modes (base_model.py:208-216)
+        if gt_mode:
+            search_ref, ref_wlh = xs[4], xs[5]
+            s_half_wlh = jnp.stack(
+                [ref_wlh[:, 1], ref_wlh[:, 0], ref_wlh[:, 2]], axis=-1
+            ) / 2.0
+        else:
+            search_ref, s_half_wlh = ref_box, half_wlh
+        s_half = s_half_wlh * s_scale + s_offset
+        this_local, this_ok = crop_local(this_pts, this_valid,
+                                         search_ref, s_half)
+        search = _select_fixed(this_local, this_ok, s_size, mode=resample)  # (B, s, 3)
+
+        batch = {"template_points": template, "search_points": search}
+        if is_bat:
+            canonical = jnp.zeros((B, 4), template.dtype)
+            batch["points2cc_dist_t"] = rigid.box_cloud(template, canonical, wlh)
+
+        output = model.apply(variables, batch, train=False)
+        boxes = output["estimation_boxes"]  # (B, K, 5)
+        best = jnp.argmax(boxes[:, :, 4], axis=1)  # (B,)
+        est = jnp.take_along_axis(boxes, best[:, None, None], axis=1)[:, 0, :4]
+        theta = jnp.deg2rad(est[:, 3]) if degrees else est[:, 3]
+        dz = est[:, 2] if use_z else jnp.zeros_like(est[:, 2])
+        offset = jnp.stack([est[:, 0], est[:, 1], dz, theta], axis=-1)
+        if limit_box:
+            # deterministic emulation of the host RNG re-draw
+            # (rigid.limit_box_offset; reference points_utils.py:70-76)
+            offset = rigid.limit_box_offset(
+                offset, ref_wlh if gt_mode else wlh, use_z
+            )
+        # the offset composes onto the search reference box — the carried
+        # prediction OR the gt box in gt modes (evaluate_one_sample:54)
+        new_ref = rigid.get_offset_box(search_ref, offset, A=A)
+        return new_ref, new_ref
+
+    return step
+
+
 class MatchScanTracker:
     """Batched on-device tracker for P2B/BAT (template modes
     firstandprevious/first/previous; reference_BB modes previous_result/
@@ -125,88 +220,9 @@ class MatchScanTracker:
         self._scorer = None  # built lazily by dispatch_scored
         self.is_bat = hasattr(model.net, "bc_channel") or model.name == "bat"
 
-        m_scale = float(config.model_bb_scale)
-        m_offset = float(config.model_bb_offset)
-        s_scale = float(config.search_bb_scale)
-        s_offset = float(config.search_bb_offset)
-        t_size = int(config.template_size)
-        s_size = int(config.search_size)
-        resample = getattr(config, "scan_resample", "strided")
-        degrees = bool(config.degrees)
-        use_z = bool(config.use_z)
-        limit_box = bool(getattr(config, "limit_box", False))
-
-        def crop_local(pts, pad_valid, ref_box, half):
-            local = rigid.remove_transform_points(pts, ref_box, A=A)
-            inside = jnp.all(
-                (local < half[:, None, :]) & (local > -half[:, None, :]), axis=-1
-            )
-            return local, inside & pad_valid
-
-        agg_mode = self._agg_mode
         gt_mode = self._gt_mode
-
-        def step(variables, wlh, first_pts, first_valid, carry, xs):
-            ref_box = carry  # (B, 4) — results_bbs[t-1], the prediction chain
-            prev_pts, prev_valid, this_pts, this_valid = xs[:4]
-            B = ref_box.shape[0]
-            half_wlh = jnp.stack([wlh[:, 1], wlh[:, 0], wlh[:, 2]], axis=-1) / 2.0
-
-            # template crops use the carried prediction (results_bbs chain)
-            # in every reference_BB mode (base_model.py:166-194)
-            m_half = half_wlh * m_scale + m_offset
-            if agg_mode == "first":
-                # constant first-frame crop; XLA hoists it out of the scan
-                template = _select_fixed(first_pts, first_valid, t_size,
-                                         mode=resample)
-            else:
-                prev_local, prev_ok = crop_local(prev_pts, prev_valid,
-                                                 ref_box, m_half)
-                if agg_mode == "previous":
-                    template = _select_fixed(prev_local, prev_ok, t_size,
-                                             mode=resample)
-                else:  # firstandprevious: first crop (constant) U prev crop
-                    merged_pts = jnp.concatenate([first_pts, prev_local], axis=1)
-                    merged_ok = jnp.concatenate([first_valid, prev_ok], axis=1)
-                    template = _select_fixed(merged_pts, merged_ok, t_size,
-                                             mode=resample)  # (B, t, 3)
-
-            # search region: around the carried box, or around the per-frame
-            # gt box in the gt reference_BB modes (base_model.py:208-216)
-            if gt_mode:
-                search_ref, ref_wlh = xs[4], xs[5]
-                s_half_wlh = jnp.stack(
-                    [ref_wlh[:, 1], ref_wlh[:, 0], ref_wlh[:, 2]], axis=-1
-                ) / 2.0
-            else:
-                search_ref, s_half_wlh = ref_box, half_wlh
-            s_half = s_half_wlh * s_scale + s_offset
-            this_local, this_ok = crop_local(this_pts, this_valid,
-                                             search_ref, s_half)
-            search = _select_fixed(this_local, this_ok, s_size, mode=resample)  # (B, s, 3)
-
-            batch = {"template_points": template, "search_points": search}
-            if self.is_bat:
-                canonical = jnp.zeros((B, 4), template.dtype)
-                batch["points2cc_dist_t"] = rigid.box_cloud(template, canonical, wlh)
-
-            output = model.apply(variables, batch, train=False)
-            boxes = output["estimation_boxes"]  # (B, K, 5)
-            best = jnp.argmax(boxes[:, :, 4], axis=1)  # (B,)
-            est = jnp.take_along_axis(boxes, best[:, None, None], axis=1)[:, 0, :4]
-            theta = jnp.deg2rad(est[:, 3]) if degrees else est[:, 3]
-            dz = est[:, 2] if use_z else jnp.zeros_like(est[:, 2])
-            offset = jnp.stack([est[:, 0], est[:, 1], dz, theta], axis=-1)
-            if limit_box:
-                # deterministic emulation of the host RNG re-draw
-                # (rigid.limit_box_offset; reference points_utils.py:70-76)
-                offset = rigid.limit_box_offset(
-                    offset, ref_wlh if gt_mode else wlh, use_z
-                )
-            # the offset composes onto the search reference box — the carried
-            # prediction OR the gt box in gt modes (evaluate_one_sample:54)
-            new_ref = rigid.get_offset_box(search_ref, offset, A=A)
-            return new_ref, new_ref
+        step = make_match_step(model, config, A, self.is_bat,
+                               self._agg_mode, gt_mode)
 
         def track_fn(variables, pts, valid, wlh, init_box, first_pts,
                      first_valid, *gt_args):

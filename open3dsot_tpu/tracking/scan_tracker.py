@@ -180,6 +180,91 @@ def pipelined_scores(tracker, batches, depth: int = 3):
         yield from drain()
 
 
+def make_m2_step(model, config, A, box_aware, compute_dtype=None):
+    """Build the single-frame M2-Track step used by BOTH the offline scan
+    tracker (inside `lax.scan`) and the online serving tracker
+    (tracking/online.py) — sharing one function makes their trajectories
+    exactly equal by construction.
+
+    Returns step(variables, wlh, carry, xs) with carry = ref_box (B, 4)
+    world-frame and xs = (prev_pts, prev_valid, this_pts, this_valid,
+    step_idx); mirrors MotionBaseModel.build_input_dict + evaluate_one_sample
+    (/root/reference/models/base_model.py:255-303, 44-57).
+    """
+    resample = getattr(config, "scan_resample", "strided")
+    n = config.point_sample_size
+    scale, offset = float(config.bb_scale), float(config.bb_offset)
+    use_z = bool(getattr(config, "use_z", True))
+    limit_box = bool(getattr(config, "limit_box", False))
+
+    def step(variables, wlh, carry, xs):
+        ref_box = carry  # (B, 4) world frame
+        prev_pts, prev_valid, this_pts, this_valid, step_idx = xs
+        B = ref_box.shape[0]
+
+        # canonicalize both frames into each ref-box frame (subwindow
+        # crop, cf. generate_subwindow, points_utils.py:218-250)
+        half = (
+            jnp.stack([wlh[:, 1], wlh[:, 0], wlh[:, 2]], axis=-1) * (scale / 2.0)
+            + offset
+        )  # (B, 3)
+
+        def crop(pts, pad_valid):
+            local = rigid.remove_transform_points(pts, ref_box, A=A)
+            inside = jnp.all(
+                (local < half[:, None, :]) & (local > -half[:, None, :]), axis=-1
+            )
+            return local, inside & pad_valid
+
+        prev_local, prev_ok = crop(prev_pts, prev_valid)
+        this_local, this_ok = crop(this_pts, this_valid)
+        prev_sel = _select_fixed(prev_local, prev_ok, n, mode=resample)  # (B, n, 3)
+        this_sel = _select_fixed(this_local, this_ok, n, mode=resample)
+
+        canonical = jnp.zeros((B, 4), prev_sel.dtype)
+        seg_mask_prev = rigid.points_in_box(
+            prev_sel, canonical, wlh, 1.25
+        ).astype(prev_sel.dtype)  # (B, n)
+        # soft prior-targetness after the first tracked frame
+        # (base_model.py:282-284)
+        soft = jnp.where(seg_mask_prev > 0.5, 0.8, 0.2)
+        seg_mask_prev = jnp.where(step_idx == 0, seg_mask_prev, soft)
+        seg_mask_this = jnp.full((B, n), 0.5, prev_sel.dtype)
+
+        ts_prev = jnp.zeros((B, n, 1), prev_sel.dtype)
+        ts_this = jnp.full((B, n, 1), 0.1, prev_sel.dtype)
+        prev_stack = jnp.concatenate(
+            [prev_sel, ts_prev, seg_mask_prev[..., None]], axis=-1
+        )
+        this_stack = jnp.concatenate(
+            [this_sel, ts_this, seg_mask_this[..., None]], axis=-1
+        )
+        points = jnp.concatenate([prev_stack, this_stack], axis=1)  # (B, 2n, 5)
+
+        batch = {"points": points}
+        if box_aware:
+            bc_prev = rigid.box_cloud(prev_sel, canonical, wlh)  # (B, n, 9)
+            batch["candidate_bc"] = jnp.concatenate(
+                [bc_prev, jnp.zeros_like(bc_prev)], axis=1
+            )
+        if compute_dtype is not None:
+            batch = {k: v.astype(compute_dtype) for k, v in batch.items()}
+
+        output = model.apply(variables, batch, train=False)
+        # box composition stays f32 regardless of the compute dtype
+        pred = output["estimation_boxes"].astype(ref_box.dtype)  # (B, 4)
+        if limit_box:
+            # deterministic emulation of the host RNG re-draw
+            # (rigid.limit_box_offset; reference points_utils.py:70-76).
+            # All shipped M2 configs set limit_box False, so this is
+            # normally dead; kept for config parity.
+            pred = rigid.limit_box_offset(pred, wlh, use_z)
+        new_ref = rigid.get_offset_box(ref_box, pred, A=A)
+        return new_ref, new_ref
+
+    return step
+
+
 class M2ScanTracker:
     """Batched on-device tracker for M2-Track (B tracklets per dispatch)."""
 
@@ -215,76 +300,8 @@ class M2ScanTracker:
         self._A = A
         self._A_np = None if A is None else np.asarray(A)
         self.box_aware = bool(getattr(config, "box_aware", False))
-        resample = getattr(config, "scan_resample", "strided")
-        n = config.point_sample_size
-        scale, offset = float(config.bb_scale), float(config.bb_offset)
-        use_z = bool(getattr(config, "use_z", True))
-        limit_box = bool(getattr(config, "limit_box", False))
-
-        def step(variables, wlh, carry, xs):
-            ref_box = carry  # (B, 4) world frame
-            prev_pts, prev_valid, this_pts, this_valid, step_idx = xs
-            B = ref_box.shape[0]
-
-            # canonicalize both frames into each ref-box frame (subwindow
-            # crop, cf. generate_subwindow, points_utils.py:218-250)
-            half = (
-                jnp.stack([wlh[:, 1], wlh[:, 0], wlh[:, 2]], axis=-1) * (scale / 2.0)
-                + offset
-            )  # (B, 3)
-
-            def crop(pts, pad_valid):
-                local = rigid.remove_transform_points(pts, ref_box, A=A)
-                inside = jnp.all(
-                    (local < half[:, None, :]) & (local > -half[:, None, :]), axis=-1
-                )
-                return local, inside & pad_valid
-
-            prev_local, prev_ok = crop(prev_pts, prev_valid)
-            this_local, this_ok = crop(this_pts, this_valid)
-            prev_sel = _select_fixed(prev_local, prev_ok, n, mode=resample)  # (B, n, 3)
-            this_sel = _select_fixed(this_local, this_ok, n, mode=resample)
-
-            canonical = jnp.zeros((B, 4), prev_sel.dtype)
-            seg_mask_prev = rigid.points_in_box(
-                prev_sel, canonical, wlh, 1.25
-            ).astype(prev_sel.dtype)  # (B, n)
-            # soft prior-targetness after the first tracked frame
-            # (base_model.py:282-284)
-            soft = jnp.where(seg_mask_prev > 0.5, 0.8, 0.2)
-            seg_mask_prev = jnp.where(step_idx == 0, seg_mask_prev, soft)
-            seg_mask_this = jnp.full((B, n), 0.5, prev_sel.dtype)
-
-            ts_prev = jnp.zeros((B, n, 1), prev_sel.dtype)
-            ts_this = jnp.full((B, n, 1), 0.1, prev_sel.dtype)
-            prev_stack = jnp.concatenate(
-                [prev_sel, ts_prev, seg_mask_prev[..., None]], axis=-1
-            )
-            this_stack = jnp.concatenate(
-                [this_sel, ts_this, seg_mask_this[..., None]], axis=-1
-            )
-            points = jnp.concatenate([prev_stack, this_stack], axis=1)  # (B, 2n, 5)
-
-            batch = {"points": points}
-            if self.box_aware:
-                bc_prev = rigid.box_cloud(prev_sel, canonical, wlh)  # (B, n, 9)
-                batch["candidate_bc"] = jnp.concatenate(
-                    [bc_prev, jnp.zeros_like(bc_prev)], axis=1
-                )
-            if self.compute_dtype is not None:
-                batch = {k: v.astype(self.compute_dtype) for k, v in batch.items()}
-
-            output = model.apply(variables, batch, train=False)
-            # box composition stays f32 regardless of the compute dtype
-            pred = output["estimation_boxes"].astype(ref_box.dtype)  # (B, 4)
-            if limit_box:
-                # deterministic emulation of the host RNG re-draw
-                # (rigid.limit_box_offset; reference points_utils.py:70-76).
-                # All shipped M2 configs set limit_box False, so this is
-                # normally dead; kept for config parity.
-                pred = rigid.limit_box_offset(pred, wlh, use_z)
-            new_ref = rigid.get_offset_box(ref_box, pred, A=A)
-            return new_ref, new_ref
+        step = make_m2_step(model, config, A, self.box_aware,
+                            compute_dtype=self.compute_dtype)
 
         def track_fn(variables, pts, valid, wlh, init_box):
             """pts (B, T, P, 3), valid (B, T, P), wlh (B, 3), init (B, 4)
