@@ -345,17 +345,29 @@ class MatchScanTracker:
             for b, seq in enumerate(sequences[:B_real])
         ]
 
-    def dispatch_scored(self, sequences: Sequence[list]):
+    def dispatch_scored(self, sequences: Sequence[list], prep_cache=None,
+                        cache_key=None):
         """Dispatch tracking + on-device trajectory scoring; no host sync.
 
         Returns (iou_dev (B_real, T_pad), dist_dev) device arrays; see
         scan_tracker.pipelined_scores for the overlapped eval loop.
+        prep_cache/cache_key cache the padded host arrays across calls (see
+        scan_tracker.M2ScanTracker.dispatch_scored).
         """
         from open3dsot_tpu.tracking.scan_tracker import _make_scorer
 
-        (sequences, B_real, T_pad, pts, valid, wlh, init,
-         first_pts, first_valid) = self._prepare(sequences)
-        gt_params, gt_wlh = self._gt_args(sequences, T_pad)
+        if prep_cache is not None and cache_key in prep_cache:
+            (sequences, B_real, T_pad, pts, valid, wlh, init,
+             first_pts, first_valid, gt_params, gt_wlh) = prep_cache[cache_key]
+        else:
+            (sequences, B_real, T_pad, pts, valid, wlh, init,
+             first_pts, first_valid) = self._prepare(sequences)
+            gt_params, gt_wlh = self._gt_args(sequences, T_pad)
+            if prep_cache is not None:
+                prep_cache[cache_key] = (
+                    sequences, B_real, T_pad, pts, valid, wlh, init,
+                    first_pts, first_valid, gt_params, gt_wlh,
+                )
         gt = (gt_params, gt_wlh) if self._gt_mode else ()
         boxes = self._dispatch_track(pts, valid, wlh, init,
                                      first_pts, first_valid, *gt)
@@ -405,7 +417,8 @@ def evaluate_dataset_scan_matching(model, variables, test_sampler, config,
                                    tracker: Optional["MatchScanTracker"] = None,
                                    device_metrics: bool = True,
                                    pipeline_depth: int = 3,
-                                   shard_across_processes: bool = False):
+                                   shard_across_processes: bool = False,
+                                   prep_cache: Optional[dict] = None):
     """Batched scan eval over a whole dataset; returns (success, precision).
 
     Pass a prebuilt `tracker` to reuse its compiled scan across calls
@@ -413,8 +426,8 @@ def evaluate_dataset_scan_matching(model, variables, test_sampler, config,
     Configs the scan path cannot serve (shape_aggregation='all', unsupported
     up_axis) fall back to the host fidelity tracker with a logged warning.
 
-    device_metrics / pipeline_depth / shard_across_processes as in
-    scan_tracker.evaluate_dataset_scan.
+    device_metrics / pipeline_depth / shard_across_processes / prep_cache as
+    in scan_tracker.evaluate_dataset_scan.
     """
     from open3dsot_tpu.tracking.scan_tracker import (
         _bucketed_batches,
@@ -442,11 +455,17 @@ def evaluate_dataset_scan_matching(model, variables, test_sampler, config,
     n = len(test_sampler)
     if max_tracklets is not None:
         n = min(n, max_tracklets)
-    batches = _bucketed_batches(test_sampler, n, tracker, batch_tracklets,
-                                shard_across_processes)
+    if prep_cache is not None and "batches" in prep_cache:
+        batches = prep_cache["batches"]
+    else:
+        batches = _bucketed_batches(test_sampler, n, tracker, batch_tracklets,
+                                    shard_across_processes)
+        if prep_cache is not None:
+            prep_cache["batches"] = batches
     if device_metrics:
         for ious, distances in pipelined_scores(tracker, batches,
-                                                depth=pipeline_depth):
+                                                depth=pipeline_depth,
+                                                prep_cache=prep_cache):
             success.update(ious)
             precision.update(distances)
     else:

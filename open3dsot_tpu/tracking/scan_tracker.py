@@ -153,13 +153,17 @@ def _make_scorer(config):
     return score
 
 
-def pipelined_scores(tracker, batches, depth: int = 3):
+def pipelined_scores(tracker, batches, depth: int = 3, prep_cache=None):
     """Yield per-tracklet (ious, distances) with `depth` batches in flight.
 
     While the device tracks batch j, the host pads batch j+1 and bins batch
     j-depth's fetched scores — the host's per-frame work (numpy padding,
     metric binning) overlaps device compute instead of serializing with it,
     and only two (B, T) scalar arrays cross the tunnel per batch.
+
+    prep_cache: optional dict; per-batch padded arrays are stored under
+    (\"prep\", j) and reused on later calls over the same batches (repeated
+    in-training validation) — the host then does no padding work at all.
     """
     from collections import deque
 
@@ -172,8 +176,10 @@ def pipelined_scores(tracker, batches, depth: int = 3):
             T = len(seq)
             yield iou[b, :T], dist[b, :T]
 
-    for seqs in batches:
-        q.append((list(seqs), tracker.dispatch_scored(seqs)))
+    for j, seqs in enumerate(batches):
+        key = None if prep_cache is None else ("prep", j)
+        q.append((list(seqs),
+                  tracker.dispatch_scored(seqs, prep_cache, key)))
         if len(q) > depth:
             yield from drain()
     while q:
@@ -398,7 +404,8 @@ class M2ScanTracker:
         boxes = np.asarray(self._dispatch_track(pts, valid, wlh, init))
         return [boxes[b, : len(seq) - 1] for b, seq in enumerate(sequences[:B_real])]
 
-    def dispatch_scored(self, sequences: Sequence[list]):
+    def dispatch_scored(self, sequences: Sequence[list], prep_cache=None,
+                        cache_key=None):
         """Dispatch tracking AND on-device scoring; no host sync.
 
         Returns (iou_dev (B_real, T_pad), dist_dev) device arrays — fetch
@@ -406,9 +413,22 @@ class M2ScanTracker:
         Scoring runs as a second small dispatch on the un-fetched box array
         (geometry/iou_device.py), so the host never clips polygons
         per frame; see evaluate_dataset_scan's pipelined loop.
+
+        prep_cache/cache_key: optional dict + key caching the padded host
+        arrays across calls — the prep is variables-independent, so repeated
+        in-training validation skips all host padding after the first epoch
+        (the caller owns invalidation).
         """
-        sequences, B_real, T_pad, pts, valid, wlh, init = self._prepare(sequences)
-        gt_params, gt_wlh = _gt_arrays(sequences, T_pad, self._A_np)
+        if prep_cache is not None and cache_key in prep_cache:
+            (sequences, B_real, T_pad, pts, valid, wlh, init,
+             gt_params, gt_wlh) = prep_cache[cache_key]
+        else:
+            sequences, B_real, T_pad, pts, valid, wlh, init = \
+                self._prepare(sequences)
+            gt_params, gt_wlh = _gt_arrays(sequences, T_pad, self._A_np)
+            if prep_cache is not None:
+                prep_cache[cache_key] = (sequences, B_real, T_pad, pts, valid,
+                                         wlh, init, gt_params, gt_wlh)
         boxes = self._dispatch_track(pts, valid, wlh, init)
         if self._scorer is None:
             self._scorer = _make_scorer(self.config)
@@ -458,7 +478,8 @@ def evaluate_dataset_scan(model, variables, test_sampler, config,
                           tracker: Optional["M2ScanTracker"] = None,
                           device_metrics: bool = True,
                           pipeline_depth: int = 3,
-                          shard_across_processes: bool = False):
+                          shard_across_processes: bool = False,
+                          prep_cache: Optional[dict] = None):
     """Scan-tracker dataset evaluation; returns (success, precision).
 
     Tracklets are grouped into same-length-bucket batches of up to
@@ -479,6 +500,12 @@ def evaluate_dataset_scan(model, variables, test_sampler, config,
     count-vectors are summed at the end (the reference's Lightning DDP
     test sharding, /root/reference/main.py:89-93, at O(22 floats) of
     communication).
+
+    prep_cache: optional dict (pass the SAME dict with the same sampler and
+    arguments each call); caches the tracklet batching and the padded host
+    arrays so repeated evaluation — in-training validation every epoch —
+    does no host padding work after the first pass. The caller owns
+    invalidation (pass a fresh dict if the sampler or args change).
     """
     from open3dsot_tpu.utils.metrics import Precision, Success
 
@@ -491,11 +518,17 @@ def evaluate_dataset_scan(model, variables, test_sampler, config,
     if max_tracklets is not None:
         n = min(n, max_tracklets)
 
-    batches = _bucketed_batches(test_sampler, n, tracker, batch_tracklets,
-                                shard_across_processes)
+    if prep_cache is not None and "batches" in prep_cache:
+        batches = prep_cache["batches"]
+    else:
+        batches = _bucketed_batches(test_sampler, n, tracker, batch_tracklets,
+                                    shard_across_processes)
+        if prep_cache is not None:
+            prep_cache["batches"] = batches
     if device_metrics:
         for ious, distances in pipelined_scores(tracker, batches,
-                                                depth=pipeline_depth):
+                                                depth=pipeline_depth,
+                                                prep_cache=prep_cache):
             success.update(ious)
             precision.update(distances)
     else:

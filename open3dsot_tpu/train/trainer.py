@@ -352,18 +352,25 @@ class Trainer:
                 print(f"[trainer] scan validation unavailable ({e}); using host path")
                 self._val_scan = None
         if getattr(self, "_val_scan", None) is not None:
+            # padded-array cache: validation data is constant across epochs,
+            # so host padding happens once (epoch 1) and later validations
+            # are pure device dispatches
+            if not hasattr(self, "_val_prep_cache"):
+                self._val_prep_cache = {}
             if cfg.net_model.lower() == "m2track":
                 from open3dsot_tpu.tracking.scan_tracker import evaluate_dataset_scan
 
                 return evaluate_dataset_scan(
-                    self.model, variables, val_sampler, cfg, tracker=self._val_scan
+                    self.model, variables, val_sampler, cfg,
+                    tracker=self._val_scan, prep_cache=self._val_prep_cache,
                 )
             from open3dsot_tpu.tracking.scan_matching import (
                 evaluate_dataset_scan_matching,
             )
 
             return evaluate_dataset_scan_matching(
-                self.model, variables, val_sampler, cfg, tracker=self._val_scan
+                self.model, variables, val_sampler, cfg,
+                tracker=self._val_scan, prep_cache=self._val_prep_cache,
             )
         from open3dsot_tpu.tracking.eval import evaluate_dataset
 
