@@ -17,7 +17,10 @@ once. This module provides that surface, TPU-style:
   trajectories to compile-level float reassociation (~1e-6 per step; the
   M2 path measures bit-exact on CPU) — tests/test_online.py;
 - slot resets (new tracklet enters) are a second jitted function taking the
-  slot index as a traced scalar — one compile serves any slot.
+  slot index as a traced scalar — one compile serves any slot;
+- pass `mesh=` to shard the slot axis over a device mesh (GSPMD; the fused
+  SA kernels carry custom partitioning rules, ops/partition.py) — serving
+  capacity scales with chips while the API stays identical.
 
 Matching models online are restricted to reference_BB='previous_result'
 (the gt modes need per-frame ground truth, which does not exist at serving
@@ -59,7 +62,7 @@ class _OnlineBase:
     """Slot pool + device-state plumbing shared by both model families."""
 
     def __init__(self, model, variables, config, max_streams: int,
-                 max_points: int):
+                 max_points: int, mesh=None):
         self.model = model
         self.variables = variables
         self.config = config
@@ -70,6 +73,28 @@ class _OnlineBase:
         self._A_np = None if A is None else np.asarray(A)
         self._active = np.zeros((self.max_streams,), bool)
         self._state = None  # device pytree, built by subclass
+        # multi-chip serving: shard the SLOT axis over the mesh's data axis
+        # (GSPMD — the fused SA custom calls have partitioning rules,
+        # ops/partition.py, so one jit serves any device count, like the
+        # reference's DDP property /root/reference/main.py:82)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if self.max_streams % mesh.devices.size:
+                raise ValueError(
+                    f"max_streams={self.max_streams} must be divisible by "
+                    f"the mesh size {mesh.devices.size}"
+                )
+            self._slot_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        else:
+            self._slot_sharding = None
+
+    def _place(self, tree):
+        """Commit slot-major arrays to the mesh (no-op without a mesh)."""
+        if self._slot_sharding is None:
+            return jax.tree_util.tree_map(jnp.asarray, tree)
+        return jax.device_put(tree, self._slot_sharding)
 
     # -- slot bookkeeping ---------------------------------------------------
     def free_slots(self):
@@ -105,7 +130,7 @@ class _OnlineBase:
                 raise ValueError(f"slot {slot} is not active; call reset()")
             pts[slot], valid[slot] = _pad_one(p, P)
         self._state, boxes = self._advance(
-            self.variables, self._state, jnp.asarray(pts), jnp.asarray(valid)
+            self.variables, self._state, self._place(pts), self._place(valid)
         )
         boxes = np.asarray(boxes)
         return {slot: boxes[slot] for slot in frames}
@@ -120,20 +145,21 @@ class OnlineM2Tracker(_OnlineBase):
     `step({slot: new_points})` per incoming frame."""
 
     def __init__(self, model, variables, config, max_streams: int = 8,
-                 max_points: int = 1024):
-        super().__init__(model, variables, config, max_streams, max_points)
+                 max_points: int = 1024, mesh=None):
+        super().__init__(model, variables, config, max_streams, max_points,
+                         mesh=mesh)
         from open3dsot_tpu.tracking.scan_tracker import make_m2_step
 
         step = make_m2_step(model, config, self._A,
                             bool(getattr(config, "box_aware", False)))
         B, P = self.max_streams, self.max_points
-        self._state = {
-            "ref": jnp.zeros((B, 4), jnp.float32),
-            "prev_pts": jnp.zeros((B, P, 3), jnp.float32),
-            "prev_valid": jnp.zeros((B, P), bool),
-            "idx": jnp.zeros((B,), jnp.int32),
-            "wlh": jnp.ones((B, 3), jnp.float32),
-        }
+        self._state = self._place({
+            "ref": np.zeros((B, 4), np.float32),
+            "prev_pts": np.zeros((B, P, 3), np.float32),
+            "prev_valid": np.zeros((B, P), bool),
+            "idx": np.zeros((B,), np.int32),
+            "wlh": np.ones((B, 3), np.float32),
+        })
 
         @jax.jit
         def advance(variables, state, new_pts, new_valid):
@@ -177,8 +203,10 @@ class OnlineMatchTracker(_OnlineBase):
     `reset` (host, like the offline tracker) and carried on device."""
 
     def __init__(self, model, variables, config, max_streams: int = 8,
-                 max_points: int = 1024, first_crop_points: int = 1024):
-        super().__init__(model, variables, config, max_streams, max_points)
+                 max_points: int = 1024, first_crop_points: int = 1024,
+                 mesh=None):
+        super().__init__(model, variables, config, max_streams, max_points,
+                         mesh=mesh)
         from open3dsot_tpu.tracking.scan_matching import (
             MatchScanTracker, make_match_step,
         )
@@ -207,14 +235,14 @@ class OnlineMatchTracker(_OnlineBase):
                                gt_mode=False)
         self.first_crop_points = int(first_crop_points)
         B, P, P1 = self.max_streams, self.max_points, self.first_crop_points
-        self._state = {
-            "ref": jnp.zeros((B, 4), jnp.float32),
-            "prev_pts": jnp.zeros((B, P, 3), jnp.float32),
-            "prev_valid": jnp.zeros((B, P), bool),
-            "first_pts": jnp.zeros((B, P1, 3), jnp.float32),
-            "first_valid": jnp.zeros((B, P1), bool),
-            "wlh": jnp.ones((B, 3), jnp.float32),
-        }
+        self._state = self._place({
+            "ref": np.zeros((B, 4), np.float32),
+            "prev_pts": np.zeros((B, P, 3), np.float32),
+            "prev_valid": np.zeros((B, P), bool),
+            "first_pts": np.zeros((B, P1, 3), np.float32),
+            "first_valid": np.zeros((B, P1), bool),
+            "wlh": np.ones((B, 3), np.float32),
+        })
 
         @jax.jit
         def advance(variables, state, new_pts, new_valid):

@@ -177,3 +177,38 @@ def test_factory_picks_family():
         make_online_tracker(model2, variables2, cfg2, max_points=128),
         OnlineMatchTracker,
     )
+
+
+def test_mesh_online_matches_unsharded():
+    """Slot axis sharded over an 8-device mesh (GSPMD) must reproduce the
+    single-device online trajectories."""
+    from jax.sharding import Mesh
+
+    cfg, model, variables, sampler = _m2_setup()
+    seqs = [sampler[0], sampler[1]]
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+
+    def run(mesh_arg):
+        online = OnlineM2Tracker(model, variables, cfg, max_streams=8,
+                                 max_points=256, mesh=mesh_arg)
+        for slot, seq in enumerate(seqs):
+            online.reset(slot, _frames(seq)[0], seq[0]["3d_bbox"])
+        out = []
+        for t in range(1, min(len(s) for s in seqs)):
+            frames = {slot: _frames(seq)[t] for slot, seq in enumerate(seqs)}
+            boxes = online.step(frames)
+            out.append(np.stack([boxes[s] for s in sorted(frames)]))
+        return np.stack(out)
+
+    got, want = run(mesh), run(None)
+    assert np.allclose(got, want, atol=1e-5)
+
+
+def test_mesh_online_requires_divisible_slots():
+    from jax.sharding import Mesh
+
+    cfg, model, variables, _ = _m2_setup()
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    with pytest.raises(ValueError, match="divisible"):
+        OnlineM2Tracker(model, variables, cfg, max_streams=6,
+                        max_points=256, mesh=mesh)
