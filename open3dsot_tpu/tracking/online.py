@@ -62,12 +62,18 @@ class _OnlineBase:
     """Slot pool + device-state plumbing shared by both model families."""
 
     def __init__(self, model, variables, config, max_streams: int,
-                 max_points: int, mesh=None):
+                 max_points: int, mesh=None, transfer_dtype=None):
         self.model = model
         self.variables = variables
         self.config = config
         self.max_streams = int(max_streams)
         self.max_points = int(max_points)
+        # 'int16' ships each step's frame points fixed-point (halved H2D
+        # bytes, dequantized in-jit) — same scheme as the offline scan
+        # trackers (config.transfer_quant, scan_tracker._quantize_pts)
+        if transfer_dtype is None:
+            transfer_dtype = getattr(config, "transfer_quant", None)
+        self.transfer_dtype = transfer_dtype
         A = rigid.up_frame(config.up_axis)
         self._A = A
         self._A_np = None if A is None else np.asarray(A)
@@ -95,6 +101,16 @@ class _OnlineBase:
         if self._slot_sharding is None:
             return jax.tree_util.tree_map(jnp.asarray, tree)
         return jax.device_put(tree, self._slot_sharding)
+
+    def _make_advance_q(self, advance):
+        """int16-transfer entry: dequantize on device, then advance."""
+
+        @jax.jit
+        def advance_q(variables, state, scale, off, q, valid):
+            pts = q.astype(jnp.float32) * scale + off
+            return advance(variables, state, pts, valid)
+
+        return advance_q
 
     # -- slot bookkeeping ---------------------------------------------------
     def free_slots(self):
@@ -129,9 +145,19 @@ class _OnlineBase:
             if not self._active[slot]:
                 raise ValueError(f"slot {slot} is not active; call reset()")
             pts[slot], valid[slot] = _pad_one(p, P)
-        self._state, boxes = self._advance(
-            self.variables, self._state, self._place(pts), self._place(valid)
-        )
+        if self.transfer_dtype is None:
+            self._state, boxes = self._advance(
+                self.variables, self._state,
+                self._place(pts), self._place(valid)
+            )
+        else:
+            from open3dsot_tpu.tracking.scan_tracker import _quantize_pts
+
+            q, scale, off = _quantize_pts(pts)
+            self._state, boxes = self._advance_q(
+                self.variables, self._state, jnp.asarray(scale),
+                jnp.asarray(off), self._place(q), self._place(valid)
+            )
         boxes = np.asarray(boxes)
         return {slot: boxes[slot] for slot in frames}
 
@@ -145,9 +171,9 @@ class OnlineM2Tracker(_OnlineBase):
     `step({slot: new_points})` per incoming frame."""
 
     def __init__(self, model, variables, config, max_streams: int = 8,
-                 max_points: int = 1024, mesh=None):
+                 max_points: int = 1024, mesh=None, transfer_dtype=None):
         super().__init__(model, variables, config, max_streams, max_points,
-                         mesh=mesh)
+                         mesh=mesh, transfer_dtype=transfer_dtype)
         from open3dsot_tpu.tracking.scan_tracker import make_m2_step
 
         step = make_m2_step(model, config, self._A,
@@ -183,6 +209,7 @@ class OnlineM2Tracker(_OnlineBase):
             )
 
         self._advance = advance
+        self._advance_q = self._make_advance_q(advance)
         self._reset_slot = reset_slot
 
     def reset(self, slot: int, points: np.ndarray, box):
@@ -204,9 +231,9 @@ class OnlineMatchTracker(_OnlineBase):
 
     def __init__(self, model, variables, config, max_streams: int = 8,
                  max_points: int = 1024, first_crop_points: int = 1024,
-                 mesh=None):
+                 mesh=None, transfer_dtype=None):
         super().__init__(model, variables, config, max_streams, max_points,
-                         mesh=mesh)
+                         mesh=mesh, transfer_dtype=transfer_dtype)
         from open3dsot_tpu.tracking.scan_matching import (
             MatchScanTracker, make_match_step,
         )
@@ -265,6 +292,7 @@ class OnlineMatchTracker(_OnlineBase):
             )
 
         self._advance = advance
+        self._advance_q = self._make_advance_q(advance)
         self._reset_slot = reset_slot
 
     def reset(self, slot: int, pc, box):

@@ -212,3 +212,32 @@ def test_mesh_online_requires_divisible_slots():
     with pytest.raises(ValueError, match="divisible"):
         OnlineM2Tracker(model, variables, cfg, max_streams=6,
                         max_points=256, mesh=mesh)
+
+
+def test_int16_transfer_matches_dequantized_f32():
+    """The online int16 path must equal the f32 path fed the same
+    dequantized frames (only WHERE q*scale+off runs differs)."""
+    from open3dsot_tpu.tracking.scan_tracker import _quantize_pts
+
+    cfg, model, variables, sampler = _m2_setup()
+    seq = sampler[0]
+    f = _frames(seq)
+    tr_q = OnlineM2Tracker(model, variables, cfg, max_streams=2,
+                           max_points=256, transfer_dtype="int16")
+    tr_f = OnlineM2Tracker(model, variables, cfg, max_streams=2,
+                           max_points=256)
+    tr_q.reset(0, f[0], seq[0]["3d_bbox"])
+    tr_f.reset(0, f[0], seq[0]["3d_bbox"])
+    from open3dsot_tpu.tracking.online import _pad_one
+
+    for t in range(1, len(seq)):
+        b_q = tr_q.step({0: f[t]})[0]
+        # feed the f32 tracker the dequantized REAL rows the int16 path saw
+        # (its pad rows re-pad to exact zeros; both are valid-masked out)
+        pts = np.zeros((2, 256, 3), np.float32)
+        pts[0], _ = _pad_one(f[t], 256)
+        q, scale, off = _quantize_pts(pts)
+        deq = q.astype(np.float32) * np.float32(scale) + off
+        n = min(len(f[t]), 256)
+        b_f = tr_f.step({0: deq[0][:n]})[0]
+        assert np.array_equal(b_q, b_f)
