@@ -274,10 +274,12 @@ class OnlineMatchTracker(_OnlineBase):
         @jax.jit
         def advance(variables, state, new_pts, new_valid):
             xs = (state["prev_pts"], state["prev_valid"], new_pts, new_valid)
-            new_ref, _ = step(variables, state["wlh"], state["first_pts"],
-                              state["first_valid"], state["ref"], xs)
-            new_state = dict(state, ref=new_ref, prev_pts=new_pts,
-                             prev_valid=new_valid)
+            (new_ref, new_wlh), _ = step(
+                variables, state["wlh"], state["first_pts"],
+                state["first_valid"], (state["ref"], state["wlh"]), xs
+            )
+            new_state = dict(state, ref=new_ref, wlh=new_wlh,
+                             prev_pts=new_pts, prev_valid=new_valid)
             return new_state, new_ref
 
         @jax.jit

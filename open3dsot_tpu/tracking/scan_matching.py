@@ -66,10 +66,16 @@ def make_match_step(model, config, A, is_bat, agg_mode, gt_mode):
     exactly equal by construction.
 
     Returns step(variables, wlh, first_pts, first_valid, carry, xs) with
-    carry = ref_box (B, 4) and xs = (prev_pts, prev_valid, this_pts,
-    this_valid[, gt_params_t, gt_wlh_t]); mirrors
+    carry = (ref_box (B, 4), ref_wlh (B, 3)) — the results_bbs chain's box
+    AND its dimensions, because getOffsetBB copies the anchor's wlh onto
+    each prediction (points_utils.py:43-85): under previous_result the
+    chain keeps the first box's wlh, under the gt modes each prediction
+    takes its per-frame gt anchor's — and xs = (prev_pts, prev_valid,
+    this_pts, this_valid[, gt_params_t, gt_wlh_t]); mirrors
     MatchingBaseModel.build_input_dict + evaluate_one_sample
-    (/root/reference/models/base_model.py:166-247, 44-57).
+    (/root/reference/models/base_model.py:166-247, 44-57). `wlh` (the
+    first box's) is accepted for signature stability but the template
+    crop/BoxCloud use the CARRIED wlh, as the reference does.
     """
     m_scale = float(config.model_bb_scale)
     m_offset = float(config.model_bb_offset)
@@ -90,10 +96,15 @@ def make_match_step(model, config, A, is_bat, agg_mode, gt_mode):
         return local, inside & pad_valid
 
     def step(variables, wlh, first_pts, first_valid, carry, xs):
-        ref_box = carry  # (B, 4) — results_bbs[t-1], the prediction chain
+        # results_bbs[t-1]: the prediction chain's box and its wlh (equal to
+        # the first box's under previous_result; the previous gt anchor's
+        # under the gt modes)
+        ref_box, carry_wlh = carry
         prev_pts, prev_valid, this_pts, this_valid = xs[:4]
         B = ref_box.shape[0]
-        half_wlh = jnp.stack([wlh[:, 1], wlh[:, 0], wlh[:, 2]], axis=-1) / 2.0
+        half_wlh = jnp.stack(
+            [carry_wlh[:, 1], carry_wlh[:, 0], carry_wlh[:, 2]], axis=-1
+        ) / 2.0
 
         # template crops use the carried prediction (results_bbs chain)
         # in every reference_BB mode (base_model.py:166-194)
@@ -130,8 +141,11 @@ def make_match_step(model, config, A, is_bat, agg_mode, gt_mode):
 
         batch = {"template_points": template, "search_points": search}
         if is_bat:
+            # template BoxCloud against the canonical template box, whose
+            # dims are the carried prediction's (bat.py:41-55)
             canonical = jnp.zeros((B, 4), template.dtype)
-            batch["points2cc_dist_t"] = rigid.box_cloud(template, canonical, wlh)
+            batch["points2cc_dist_t"] = rigid.box_cloud(template, canonical,
+                                                        carry_wlh)
 
         output = model.apply(variables, batch, train=False)
         boxes = output["estimation_boxes"]  # (B, K, 5)
@@ -144,12 +158,14 @@ def make_match_step(model, config, A, is_bat, agg_mode, gt_mode):
             # deterministic emulation of the host RNG re-draw
             # (rigid.limit_box_offset; reference points_utils.py:70-76)
             offset = rigid.limit_box_offset(
-                offset, ref_wlh if gt_mode else wlh, use_z
+                offset, ref_wlh if gt_mode else carry_wlh, use_z
             )
         # the offset composes onto the search reference box — the carried
-        # prediction OR the gt box in gt modes (evaluate_one_sample:54)
+        # prediction OR the gt box in gt modes (evaluate_one_sample:54) —
+        # and the new prediction inherits that anchor's wlh
         new_ref = rigid.get_offset_box(search_ref, offset, A=A)
-        return new_ref, new_ref
+        new_wlh = ref_wlh if gt_mode else carry_wlh
+        return (new_ref, new_wlh), new_ref
 
     return step
 
@@ -240,7 +256,8 @@ class MatchScanTracker:
                     jnp.swapaxes(gt_wlh[:, sl], 0, 1),
                 )
             _, boxes = jax.lax.scan(
-                partial(step, variables, wlh, first_pts, first_valid), init_box, xs
+                partial(step, variables, wlh, first_pts, first_valid),
+                (init_box, wlh), xs
             )
             return jnp.swapaxes(boxes, 0, 1)  # (B, T-1, 4)
 
@@ -373,8 +390,18 @@ class MatchScanTracker:
                                      first_pts, first_valid, *gt)
         if self._scorer is None:
             self._scorer = _make_scorer(self.config)
+        if self._gt_mode:
+            # getOffsetBB copies the anchor's wlh onto the prediction
+            # (points_utils.py:43-85): in the gt modes the anchor is the
+            # per-frame gt box, so score with ITS dimensions
+            pred_wlh = np.empty_like(gt_wlh)
+            pred_wlh[:, 0] = wlh
+            pred_wlh[:, 1:] = (gt_wlh[:, :-1] if self._ref_mode == "previous_gt"
+                               else gt_wlh[:, 1:])
+        else:
+            pred_wlh = wlh
         iou, dist = self._scorer(
-            boxes, jnp.asarray(init), jnp.asarray(wlh),
+            boxes, jnp.asarray(init), jnp.asarray(pred_wlh),
             jnp.asarray(gt_params), jnp.asarray(gt_wlh),
         )
         return iou[:B_real], dist[:B_real]
@@ -393,11 +420,21 @@ def _score(sequence, boxes, config):
     first_box = sequence[0]["3d_bbox"]
     A = rigid.up_frame(config.up_axis)
     A_np = None if A is None else np.asarray(A)
+    ref = config.reference_BB.upper()
     results_bbs = [first_box]
     for t in range(len(sequence) - 1):
         cx, cy, cz, th = (float(v) for v in boxes[t])
+        # the prediction inherits its anchor's wlh (getOffsetBB copies the
+        # ref box dims, points_utils.py:43-85): the carried chain keeps the
+        # first box's, the gt modes take the per-frame gt anchor's
+        if "PREVIOUS_GT" in ref:
+            wlh = sequence[t]["3d_bbox"].wlh
+        elif "CURRENT_GT" in ref:
+            wlh = sequence[t + 1]["3d_bbox"].wlh
+        else:
+            wlh = first_box.wlh
         results_bbs.append(
-            Box([cx, cy, cz], first_box.wlh.tolist(),
+            Box([cx, cy, cz], np.asarray(wlh).tolist(),
                 Quaternion(matrix=rigid.rotation_from_theta(th, A_np)))
         )
     ious, distances = [], []

@@ -132,7 +132,12 @@ def _gt_arrays(sequences, T_pad: int, A_np):
 
 def _make_scorer(config):
     """Jitted whole-trajectory scorer: (boxes (B,T-1,4), init (B,4),
-    wlh (B,3), gt_params (B,T,4), gt_wlh (B,T,3)) -> (iou, dist) (B,T).
+    wlh, gt_params (B,T,4), gt_wlh (B,T,3)) -> (iou, dist) (B,T).
+
+    wlh is (B, 3) when every predicted box keeps the first-frame dimensions
+    (previous_result chains — getOffsetBB copies the ref box's wlh), or a
+    per-frame (B, T, 3) array when the anchor varies (the matching gt
+    reference_BB modes anchor on per-frame gt boxes).
 
     Frame 0 scores the gt box against itself (results_bbs[0] IS the first
     gt box in the reference loop, base_model.py:59-86) — exactly 1.0 / 0.0.
@@ -145,7 +150,10 @@ def _make_scorer(config):
     @jax.jit
     def score(boxes, init, wlh, gt_params, gt_wlh):
         preds = jnp.concatenate([init[:, None, :], boxes], axis=1)  # (B,T,4)
-        pred_wlh = jnp.broadcast_to(wlh[:, None, :], gt_wlh.shape)
+        if wlh.ndim == 3:
+            pred_wlh = wlh
+        else:
+            pred_wlh = jnp.broadcast_to(wlh[:, None, :], gt_wlh.shape)
         return overlap_accuracy(
             gt_params, gt_wlh, preds, pred_wlh, dim=dim, up_idx=up_idx
         )

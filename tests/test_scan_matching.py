@@ -292,3 +292,53 @@ class TestAggregationAndRefModes:
         want = tr_one.track_batch(seqs)
         for g, w in zip(got, want):
             assert np.allclose(g, w, atol=1e-5)
+
+
+class TestGtModeWlhSemantics:
+    """getOffsetBB copies the anchor's wlh onto the prediction
+    (points_utils.py:43-85): with per-frame-varying gt dimensions the gt
+    modes must carry/score the anchor wlh, not the first frame's."""
+
+    def _varied_seq(self, sampler):
+        import copy
+
+        from open3dsot_tpu.geometry.data_classes import Box
+
+        seq = copy.deepcopy(sampler[0])
+        for t, frame in enumerate(seq):
+            b = frame["3d_bbox"]
+            frame["3d_bbox"] = Box(
+                np.asarray(b.center).tolist(),
+                (np.asarray(b.wlh) * (1.0 + 0.15 * t)).tolist(),
+                b.orientation,
+            )
+        return seq
+
+    @pytest.mark.parametrize("ref", ["previous_gt", "current_gt"])
+    def test_host_score_boxes_carry_anchor_wlh(self, ref):
+        cfg = cfg_for("p2b", reference_BB=ref)
+        model = get_model("p2b")(cfg)
+        variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
+        sampler = get_dataset(cfg, "test", "test")
+        seq = self._varied_seq(sampler)
+        tracker = MatchScanTracker(model, variables, cfg, max_points=1024,
+                                   first_crop_points=256)
+        _, _, boxes = tracker.evaluate_one_sequence(seq, cfg)
+        for t in range(1, len(seq)):
+            anchor = seq[t - 1] if ref == "previous_gt" else seq[t]
+            assert np.allclose(boxes[t].wlh, anchor["3d_bbox"].wlh), t
+
+    @pytest.mark.parametrize("ref", ["previous_gt", "current_gt"])
+    def test_device_score_matches_host_score_with_varying_wlh(self, ref):
+        cfg = cfg_for("p2b", reference_BB=ref)
+        model = get_model("p2b")(cfg)
+        variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
+        sampler = get_dataset(cfg, "test", "test")
+        seq = self._varied_seq(sampler)
+        tracker = MatchScanTracker(model, variables, cfg, max_points=1024,
+                                   first_crop_points=256)
+        iou_d, dist_d = (np.asarray(x) for x in tracker.dispatch_scored([seq]))
+        ious, dists, _ = tracker.evaluate_sequences([seq], cfg)[0]
+        T = len(seq)
+        assert np.allclose(iou_d[0, :T], ious, atol=2e-4)
+        assert np.allclose(dist_d[0, :T], dists, atol=2e-4)
