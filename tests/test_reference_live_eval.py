@@ -162,3 +162,96 @@ def test_live_trajectory_parity(net_model):
         our_result = tracker.evaluate_one_sequence(our_seq, our_cfg)
 
     _assert_trajectory_equal(ref_result, our_result)
+
+
+def _make_tracklet_varied_wlh(rng, n_frames=5, n_points=220):
+    """Like _make_tracklet but with per-frame-varying gt box dimensions, to
+    exercise the anchor-wlh inheritance of getOffsetBB under the gt
+    reference_BB modes."""
+    ref_seq, our_seq = [], []
+    center = np.array([4.0, 2.0, 0.5])
+    theta = 0.4
+    for t in range(n_frames):
+        wlh = (1.8 + 0.2 * t, 4.2 - 0.15 * t, 1.6 + 0.1 * t)
+        center = center + np.array([0.35, -0.2, 0.02])
+        theta += 0.05
+        q = Quaternion(axis=[0, 0, 1], radians=theta)
+        n_in = 60
+        local = (rng.random((n_in, 3)) * 2 - 1) * (
+            np.array([wlh[1], wlh[0], wlh[2]]) * 0.45
+        )
+        R = np.array(
+            [[np.cos(theta), -np.sin(theta), 0],
+             [np.sin(theta), np.cos(theta), 0],
+             [0, 0, 1]]
+        )
+        inside = local @ R.T + center
+        clutter = rng.normal(scale=4.0, size=(n_points - n_in, 3)) + center
+        pts = np.concatenate([inside, clutter], axis=0).T
+        ref_seq.append({
+            "pc": REF["data_classes"].PointCloud(pts.copy()),
+            "3d_bbox": REF["data_classes"].Box(center.tolist(), list(wlh), q),
+        })
+        our_seq.append({
+            "pc": OurPC(pts.copy()),
+            "3d_bbox": OurBox(center.tolist(), list(wlh), q),
+        })
+    return ref_seq, our_seq
+
+
+@pytest.mark.parametrize("agg,ref_bb,varied_wlh", [
+    ("first", "previous_result", False),
+    ("firstandprevious", "previous_gt", True),
+    ("firstandprevious", "current_gt", True),
+])
+def test_live_trajectory_parity_modes(agg, ref_bb, varied_wlh):
+    """The non-default shape_aggregation / reference_BB eval modes, run
+    against the LIVE reference loop (host tracker side). The gt modes use
+    per-frame-varying gt dimensions so the anchor-wlh inheritance of
+    getOffsetBB (points_utils.py:43-85) is exercised, not just the default
+    constant-dims case. ('previous' AND 'all' are untestable live: the
+    misspelled `hape_aggregation` elif at base_model.py:186 is evaluated
+    before the 'all' branch is reached, so BOTH modes raise AttributeError
+    in the reference — test_reference_all_mode_is_dead pins that; our host
+    path implements the evident intent of both.)"""
+    cfg_dict = _eval_cfg_matching("p2b")
+    cfg_dict.update(shape_aggregation=agg, reference_BB=ref_bb)
+    torch.manual_seed(3)
+    ref_model = REF["p2b"].P2B(REF["EasyDict"](cfg_dict))
+    _randomize_bn(ref_model)
+    ref_model.eval()
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    our_cfg = make_config(cfg_dict)
+    model = get_model("p2b")(our_cfg)
+    variables = import_checkpoint(sd, our_cfg, model=model)
+
+    rng = np.random.default_rng(23)
+    make = _make_tracklet_varied_wlh if varied_wlh else _make_tracklet
+    ref_seq, our_seq = make(rng)
+
+    with torch.no_grad():
+        ref_result = ref_model.evaluate_one_sequence(ref_seq)
+    with jax.default_matmul_precision("highest"):
+        tracker = Tracker(model, variables)
+        our_result = tracker.evaluate_one_sequence(our_seq, our_cfg)
+    _assert_trajectory_equal(ref_result, our_result)
+
+
+def test_reference_all_and_previous_modes_are_dead():
+    """Documents (and pins) the reference bug our 'deliberate fix' list
+    claims: base_model.py:186 reads `config.hape_aggregation` in the elif
+    chain, so shape_aggregation='previous' AND 'all' both crash in the
+    reference — they are dead branches; our implementation of them is the
+    evident intent, verified against our own host path instead."""
+    cfg_dict = _eval_cfg_matching("p2b")
+    torch.manual_seed(3)
+    rng = np.random.default_rng(23)
+    ref_seq, _ = _make_tracklet(rng)
+    for mode in ("previous", "all"):
+        cfg_dict["shape_aggregation"] = mode
+        ref_model = REF["p2b"].P2B(REF["EasyDict"](cfg_dict))
+        ref_model.eval()
+        with pytest.raises(AttributeError, match="hape_aggregation"):
+            with torch.no_grad():
+                ref_model.evaluate_one_sequence(ref_seq)
