@@ -96,10 +96,15 @@ DEFAULTS: Dict[str, Any] = {
     "max_raw_points": 2048,
     # scan-eval host->device transfer packing: None ships padded frame
     # points as f32; 'int16' ships a fixed-point encoding (per-dispatch
-    # offset/scale, <=2mm quantization at +/-64 m extent) and dequantizes
-    # inside the jitted scan — halves eval H2D bytes for links where
-    # transfer binds (this environment's tunnel; see BENCH_E2E_EVAL.md)
+    # offset/scale over the VALID points, <=2mm quantization at +/-64 m
+    # extent) and dequantizes inside the jitted scan — halves eval H2D
+    # bytes for links where transfer binds (this environment's tunnel;
+    # see BENCH_E2E_EVAL.md)
     "transfer_quant": None,
+    # cache the padded validation arrays across epochs (zero host padding
+    # after epoch 1); pins the padded val set in host RAM — disable for
+    # very large validation splits
+    "val_prep_cache": True,
 }
 
 

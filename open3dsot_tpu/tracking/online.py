@@ -36,26 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from open3dsot_tpu.geometry import points_utils, rigid
-
-
-def _pad_one(p: np.ndarray, P: int):
-    """Pad/truncate one frame's (N, 3) points to (P, 3) + validity mask.
-
-    Same policy as the scan trackers' host padding (scan_tracker.
-    M2ScanTracker._pad_frames): frames larger than P keep the P points
-    closest (L-inf) to the median, which tracks the object in
-    preload-cropped frames.
-    """
-    p = np.asarray(p, np.float32).reshape(-1, 3)
-    if len(p) > P:
-        center = np.median(p, axis=0, keepdims=True)
-        d = np.max(np.abs(p - center), axis=1)
-        p = p[np.argsort(d, kind="stable")[:P]]
-    out = np.zeros((P, 3), np.float32)
-    valid = np.zeros((P,), bool)
-    out[: len(p)] = p
-    valid[: len(p)] = True
-    return out, valid
+from open3dsot_tpu.tracking.scan_tracker import pad_frame as _pad_one
 
 
 class _OnlineBase:
@@ -153,7 +134,7 @@ class _OnlineBase:
         else:
             from open3dsot_tpu.tracking.scan_tracker import _quantize_pts
 
-            q, scale, off = _quantize_pts(pts)
+            q, scale, off = _quantize_pts(pts, valid)
             self._state, boxes = self._advance_q(
                 self.variables, self._state, jnp.asarray(scale),
                 jnp.asarray(off), self._place(q), self._place(valid)
@@ -235,7 +216,8 @@ class OnlineMatchTracker(_OnlineBase):
         super().__init__(model, variables, config, max_streams, max_points,
                          mesh=mesh, transfer_dtype=transfer_dtype)
         from open3dsot_tpu.tracking.scan_matching import (
-            MatchScanTracker, make_match_step,
+            make_match_step,
+            parse_agg_mode,
         )
 
         if "PREVIOUS_RESULT" not in config.reference_BB.upper():
@@ -244,19 +226,7 @@ class OnlineMatchTracker(_OnlineBase):
                 f"(got {config.reference_BB!r}): the gt modes need per-frame "
                 f"ground truth, which does not exist at serving time"
             )
-        agg = config.shape_aggregation.upper()
-        if "FIRSTANDPREVIOUS" in agg:
-            agg_mode = "firstandprevious"
-        elif "FIRST" in agg:
-            agg_mode = "first"
-        elif "PREVIOUS" in agg:
-            agg_mode = "previous"
-        else:
-            raise ValueError(
-                f"online tracking supports shape_aggregation "
-                f"'firstandprevious'/'first'/'previous' "
-                f"(got {config.shape_aggregation!r})"
-            )
+        agg_mode = parse_agg_mode(config.shape_aggregation)
         is_bat = hasattr(model.net, "bc_channel") or model.name == "bat"
         step = make_match_step(model, config, self._A, is_bat, agg_mode,
                                gt_mode=False)

@@ -56,7 +56,32 @@ from open3dsot_tpu.geometry import points_utils, rigid
 from open3dsot_tpu.geometry.data_classes import Box
 from open3dsot_tpu.geometry.iou import estimateAccuracy, estimateOverlap
 from open3dsot_tpu.geometry.quaternion import Quaternion
-from open3dsot_tpu.tracking.scan_tracker import _select_fixed
+from open3dsot_tpu.tracking.scan_tracker import (
+    _pack_transfer,
+    _select_fixed,
+    _TransferDispatchMixin,
+    pad_frame,
+)
+
+
+def parse_agg_mode(shape_aggregation: str) -> str:
+    """Parse shape_aggregation with the reference's substring precedence
+    (base_model.py:177-194): firstandprevious > first > previous; 'all' has
+    no fixed-shape scan/online path (unbounded template merge) and raises —
+    callers fall back to the host tracker."""
+    agg = shape_aggregation.upper()
+    if "FIRSTANDPREVIOUS" in agg:
+        return "firstandprevious"
+    if "FIRST" in agg:
+        return "first"
+    if "PREVIOUS" in agg:
+        return "previous"
+    raise ValueError(
+        f"on-device tracking supports shape_aggregation 'firstandprevious'/"
+        f"'first'/'previous' (got {shape_aggregation!r}; 'all' grows the "
+        f"template merge unboundedly — use the host tracker, "
+        f"tracking/eval.py)"
+    )
 
 
 def make_match_step(model, config, A, is_bat, agg_mode, gt_mode):
@@ -170,7 +195,7 @@ def make_match_step(model, config, A, is_bat, agg_mode, gt_mode):
     return step
 
 
-class MatchScanTracker:
+class MatchScanTracker(_TransferDispatchMixin):
     """Batched on-device tracker for P2B/BAT (template modes
     firstandprevious/first/previous; reference_BB modes previous_result/
     previous_gt/current_gt; 'all' templates fall back to the host path)."""
@@ -185,20 +210,7 @@ class MatchScanTracker:
         self.transfer_dtype = transfer_dtype
         # mode parsing mirrors the reference's substring precedence
         # (base_model.py:177-194, 208-216 / models/matching_base.py)
-        agg = config.shape_aggregation.upper()
-        if "FIRSTANDPREVIOUS" in agg:
-            agg_mode = "firstandprevious"
-        elif "FIRST" in agg:
-            agg_mode = "first"
-        elif "PREVIOUS" in agg:
-            agg_mode = "previous"
-        else:
-            raise ValueError(
-                f"scan path supports shape_aggregation 'firstandprevious'/"
-                f"'first'/'previous' (got {config.shape_aggregation!r}; "
-                f"'all' grows the template merge unboundedly — use the host "
-                f"tracker, tracking/eval.py)"
-            )
+        agg_mode = parse_agg_mode(config.shape_aggregation)
         ref_mode_s = config.reference_BB.upper()
         if "PREVIOUS_RESULT" in ref_mode_s:
             ref_mode = "previous_result"
@@ -284,18 +296,6 @@ class MatchScanTracker:
             )
             self._mesh_size = mesh.devices.size
 
-    def _dispatch_track(self, pts, *rest):
-        """Ship (pts, *rest) and run the compiled scan; transfer_dtype
-        'int16' fixed-point-packs the points (halved H2D bytes)."""
-        from open3dsot_tpu.tracking.scan_tracker import _quantize_pts
-
-        args = [jnp.asarray(a) for a in rest]
-        if self.transfer_dtype is None:
-            return self._track(self.variables, jnp.asarray(pts), *args)
-        q, scale, off = _quantize_pts(pts)
-        return self._track(self.variables, jnp.asarray(scale),
-                           jnp.asarray(off), jnp.asarray(q), *args)
-
     # --- host driver ------------------------------------------------------
     def _bucket_len(self, T: int) -> int:
         return max(2, -(-T // self.frame_bucket) * self.frame_bucket)
@@ -329,15 +329,7 @@ class MatchScanTracker:
             first_pts[b, : len(fp)] = fp
             first_valid[b, : len(fp)] = True
             for t, frame in enumerate(seq):
-                p = frame["pc"].points.T.astype(np.float32)
-                if len(p) > P:
-                    # see scan_tracker._pad_frames: median tracks the object
-                    # in preload-cropped frames
-                    center = np.median(p, axis=0, keepdims=True)
-                    d = np.max(np.abs(p - center), axis=1)
-                    p = p[np.argsort(d, kind="stable")[:P]]
-                pts[b, t, : len(p)] = p
-                valid[b, t, : len(p)] = True
+                pts[b, t], valid[b, t] = pad_frame(frame["pc"].points.T, P)
         return (sequences, B_real, T_pad,
                 pts, valid, wlh, init, first_pts, first_valid)
 
@@ -374,20 +366,23 @@ class MatchScanTracker:
         from open3dsot_tpu.tracking.scan_tracker import _make_scorer
 
         if prep_cache is not None and cache_key in prep_cache:
-            (sequences, B_real, T_pad, pts, valid, wlh, init,
+            (sequences, B_real, T_pad, packed, valid, wlh, init,
              first_pts, first_valid, gt_params, gt_wlh) = prep_cache[cache_key]
         else:
             (sequences, B_real, T_pad, pts, valid, wlh, init,
              first_pts, first_valid) = self._prepare(sequences)
             gt_params, gt_wlh = self._gt_args(sequences, T_pad)
+            # cache the TRANSFER form (variables-independent; int16 halves
+            # the cache's resident bytes)
+            packed = _pack_transfer(self.transfer_dtype, pts, valid)
             if prep_cache is not None:
                 prep_cache[cache_key] = (
-                    sequences, B_real, T_pad, pts, valid, wlh, init,
+                    sequences, B_real, T_pad, packed, valid, wlh, init,
                     first_pts, first_valid, gt_params, gt_wlh,
                 )
         gt = (gt_params, gt_wlh) if self._gt_mode else ()
-        boxes = self._dispatch_track(pts, valid, wlh, init,
-                                     first_pts, first_valid, *gt)
+        boxes = self._dispatch_packed(packed, valid, wlh, init,
+                                      first_pts, first_valid, *gt)
         if self._scorer is None:
             self._scorer = _make_scorer(self.config)
         if self._gt_mode:

@@ -85,18 +85,30 @@ def _select_fixed(points: jnp.ndarray, valid: jnp.ndarray, n: int,
     return jnp.where(count[..., None] > 0, out, jnp.zeros_like(out))
 
 
-def _quantize_pts(pts: np.ndarray):
+def _quantize_pts(pts: np.ndarray, valid: np.ndarray = None):
     """Fixed-point-encode padded frame points for transfer (config
     transfer_quant='int16'): per-dispatch midrange offset + symmetric int16
     scale, so dequantization `q * scale + off` is one fused device op. The
-    quantization step is extent/32766 (<=2 mm at +/-64 m), well under lidar
-    noise; exactness-sensitive paths keep the default f32 transfer."""
+    quantization step is extent/32766 (<=2 mm at +/-64 m of REAL-point
+    extent), well under lidar noise; exactness-sensitive paths keep the
+    default f32 transfer.
+
+    valid: optional bool mask matching pts[..., 0]. The offset/scale are
+    computed over VALID points only — zero-pad rows would otherwise anchor
+    the range to the coordinate origin and inflate the step by orders of
+    magnitude for clouds far from it (global-frame nuScenes/Waymo). Pad
+    rows may overflow the int16 range; they are clipped (their dequantized
+    coordinates are garbage, which is fine — every consumer masks them out
+    with the same `valid`)."""
     flat = pts.reshape(-1, 3)
+    if valid is not None:
+        v = np.asarray(valid).reshape(-1)
+        flat = flat[v] if v.any() else flat[:1]
     lo = flat.min(axis=0)
     hi = flat.max(axis=0)
     off = ((lo + hi) * 0.5).astype(np.float32)
     scale = np.float32(max(np.abs(flat - off).max() / 32766.0, 1e-6))
-    q = np.rint((pts - off) / scale).astype(np.int16)
+    q = np.clip(np.rint((pts - off) / scale), -32768, 32767).astype(np.int16)
     return q, scale, off
 
 
@@ -109,6 +121,50 @@ def _dequant_entry(track_fn):
         return track_fn(variables, pts, *rest)
 
     return entry
+
+
+def pad_frame(p: np.ndarray, P: int):
+    """Pad/truncate one frame's (N, 3) points to (P, 3) + validity mask —
+    THE single truncation policy shared by the offline scan trackers and the
+    online serving tracker (their trajectory-equality tests depend on it).
+    Frames larger than P keep the P points closest (L-inf) to the median:
+    the standard pipeline preload-crops each frame around its gt box
+    (kitti.py:180-182), so the median tracks the object."""
+    p = np.asarray(p, np.float32).reshape(-1, 3)
+    if len(p) > P:
+        center = np.median(p, axis=0, keepdims=True)
+        d = np.max(np.abs(p - center), axis=1)
+        p = p[np.argsort(d, kind="stable")[:P]]
+    out = np.zeros((P, 3), np.float32)
+    valid = np.zeros((P,), bool)
+    out[: len(p)] = p
+    valid[: len(p)] = True
+    return out, valid
+
+
+def _pack_transfer(transfer_dtype, pts, valid):
+    """Host-side transfer packing of padded frame points: () around the f32
+    array as-is, or the ('int16') fixed-point triple ordered for the
+    _dequant_entry signature. Variables-independent, so prep caches store
+    the packed form and repeated evals skip re-quantization too."""
+    if transfer_dtype is None:
+        return (np.asarray(pts),)
+    q, scale, off = _quantize_pts(pts, valid)
+    return (scale, off, q)
+
+
+class _TransferDispatchMixin:
+    """Shared compiled-scan dispatch used by both scan trackers: packs the
+    points per self.transfer_dtype (rest[0] must be the validity mask that
+    bounds the quantization range) and invokes self._track."""
+
+    def _dispatch_track(self, pts, *rest):
+        packed = _pack_transfer(self.transfer_dtype, pts, rest[0])
+        return self._dispatch_packed(packed, *rest)
+
+    def _dispatch_packed(self, packed, *rest):
+        args = [jnp.asarray(a) for a in (*packed, *rest)]
+        return self._track(self.variables, *args)
 
 
 def _gt_arrays(sequences, T_pad: int, A_np):
@@ -279,7 +335,7 @@ def make_m2_step(model, config, A, box_aware, compute_dtype=None):
     return step
 
 
-class M2ScanTracker:
+class M2ScanTracker(_TransferDispatchMixin):
     """Batched on-device tracker for M2-Track (B tracklets per dispatch)."""
 
     def __init__(self, model, variables, config, max_points: int = 4096,
@@ -351,32 +407,13 @@ class M2ScanTracker:
             )
             self._mesh_size = mesh.devices.size
 
-    def _dispatch_track(self, pts, *rest):
-        """Ship (pts, *rest) and run the compiled scan; transfer_dtype
-        'int16' fixed-point-packs the points (halved H2D bytes)."""
-        args = [jnp.asarray(a) for a in rest]
-        if self.transfer_dtype is None:
-            return self._track(self.variables, jnp.asarray(pts), *args)
-        q, scale, off = _quantize_pts(pts)
-        return self._track(self.variables, jnp.asarray(scale),
-                           jnp.asarray(off), jnp.asarray(q), *args)
-
     # --- host-side driver -------------------------------------------------
     def _pad_frames(self, sequence, T_pad):
         P = self.max_points
         pts = np.zeros((T_pad, P, 3), np.float32)
         valid = np.zeros((T_pad, P), bool)
         for t, frame in enumerate(sequence):
-            p = frame["pc"].points.T.astype(np.float32)  # (M, 3)
-            if len(p) > P:
-                # cap at the P points nearest the frame cloud's median — the
-                # standard pipeline preload-crops each frame around its gt box
-                # (kitti.py:180-182) so the median tracks the object
-                center = np.median(p, axis=0, keepdims=True)
-                d = np.max(np.abs(p - center), axis=1)
-                p = p[np.argsort(d, kind="stable")[:P]]
-            pts[t, : len(p)] = p
-            valid[t, : len(p)] = True
+            pts[t], valid[t] = pad_frame(frame["pc"].points.T, P)
         return pts, valid
 
     def _bucket_len(self, T: int) -> int:
@@ -428,16 +465,19 @@ class M2ScanTracker:
         (the caller owns invalidation).
         """
         if prep_cache is not None and cache_key in prep_cache:
-            (sequences, B_real, T_pad, pts, valid, wlh, init,
+            (sequences, B_real, T_pad, packed, valid, wlh, init,
              gt_params, gt_wlh) = prep_cache[cache_key]
         else:
             sequences, B_real, T_pad, pts, valid, wlh, init = \
                 self._prepare(sequences)
             gt_params, gt_wlh = _gt_arrays(sequences, T_pad, self._A_np)
+            # cache the TRANSFER form: quantization is variables-independent
+            # too, and int16 halves the cache's resident bytes
+            packed = _pack_transfer(self.transfer_dtype, pts, valid)
             if prep_cache is not None:
-                prep_cache[cache_key] = (sequences, B_real, T_pad, pts, valid,
-                                         wlh, init, gt_params, gt_wlh)
-        boxes = self._dispatch_track(pts, valid, wlh, init)
+                prep_cache[cache_key] = (sequences, B_real, T_pad, packed,
+                                         valid, wlh, init, gt_params, gt_wlh)
+        boxes = self._dispatch_packed(packed, valid, wlh, init)
         if self._scorer is None:
             self._scorer = _make_scorer(self.config)
         iou, dist = self._scorer(

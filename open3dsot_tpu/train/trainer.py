@@ -354,9 +354,16 @@ class Trainer:
         if getattr(self, "_val_scan", None) is not None:
             # padded-array cache: validation data is constant across epochs,
             # so host padding happens once (epoch 1) and later validations
-            # are pure device dispatches
-            if not hasattr(self, "_val_prep_cache"):
+            # are pure device dispatches. Keyed on the sampler object — a
+            # different val set gets a fresh cache, never stale data. The
+            # cache pins the padded val set in host RAM (~12 B/point f32, or
+            # ~7 B with transfer_quant=int16); config.val_prep_cache=False
+            # opts out for very large validation splits.
+            if getattr(cfg, "val_prep_cache", True) is False:
+                self._val_prep_cache = None
+            elif getattr(self, "_val_prep_cache_for", None) is not val_sampler:
                 self._val_prep_cache = {}
+                self._val_prep_cache_for = val_sampler
             if cfg.net_model.lower() == "m2track":
                 from open3dsot_tpu.tracking.scan_tracker import evaluate_dataset_scan
 

@@ -28,13 +28,31 @@ import numpy as np
 
 
 def _cases():
-    from tests.test_scan_matching import cfg_for as match_cfg
-    from tests.test_scan_tracker import m2_cfg
+    """PRODUCTION-scale configs (same sizes as benchmarks/bench_e2e_eval.py:
+    1024-point frames, 256-channel BAT towers, 512/1024 template/search) —
+    not the tiny test stubs, so the rows are comparable to BENCH_DETAILS.md."""
+    from open3dsot_tpu.config import make_config
 
-    cfg_m2 = m2_cfg()
-    cfg_m2.syn_tracklet_len = 64
-    cfg_bat = match_cfg("bat")
-    cfg_bat.syn_tracklet_len = 64
+    cfg_m2 = make_config(dict(
+        dataset="synthetic", net_model="m2track", category_name="Car",
+        bb_scale=1.25, bb_offset=2, point_sample_size=1024, degrees=False,
+        up_axis=[0, 0, 1], box_aware=True, use_z=True, limit_box=False,
+        IoU_space=3, motion_threshold=0.15, train_type="train_motion",
+        syn_num_tracklets=2, syn_tracklet_len=64, seed=7,
+    ))
+    cfg_bat = make_config(dict(
+        dataset="synthetic", net_model="bat", category_name="Car",
+        template_size=512, search_size=1024, point_sample_size=1024,
+        feature_channel=256, hidden_channel=256, out_channel=256,
+        vote_channel=256, num_proposal=64, k=4, bc_channel=9,
+        box_aware=True, use_fps=True, normalize_xyz=False, degrees=True,
+        use_z=False, limit_box=False, IoU_space=3,
+        model_bb_scale=1.25, model_bb_offset=0.0,
+        search_bb_scale=1.25, search_bb_offset=2.0,
+        shape_aggregation="firstandprevious", reference_BB="previous_result",
+        bb_scale=1.25, bb_offset=2.0, train_type="train_siamese",
+        syn_num_tracklets=2, syn_tracklet_len=64, seed=7,
+    ))
     return [("m2track", cfg_m2), ("bat", cfg_bat)]
 
 
@@ -74,8 +92,11 @@ def main():
     ap.add_argument("--streams", type=str, default="8,16,32")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--points", type=int, default=1024)
+    ap.add_argument("--models", type=str, default="m2track,bat",
+                    help="comma-separated subset (CPU smoke: m2track only)")
     args = ap.parse_args()
     stream_counts = [int(s) for s in args.streams.split(",")]
+    model_subset = set(args.models.split(","))
 
     from open3dsot_tpu.data import get_dataset
     from open3dsot_tpu.models import get_model
@@ -83,6 +104,8 @@ def main():
 
     rows = []
     for name, cfg in _cases():
+        if name not in model_subset:
+            continue
         model = get_model(name)(cfg)
         variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
         sampler = get_dataset(cfg, "test", "test")

@@ -75,3 +75,50 @@ class TestQuantTracker:
                                          tracker=tr_f, max_tracklets=2)
         assert s_q == pytest.approx(s_f, abs=3.0)
         assert p_q == pytest.approx(p_f, abs=3.0)
+
+
+def test_quantize_range_ignores_pad_zeros():
+    """Zero-pad rows must not anchor the range to the origin: a cloud at
+    ~500 m (global-frame nuScenes/Waymo) keeps its <=2mm-of-own-extent step
+    when the valid mask is supplied."""
+    rng = np.random.default_rng(1)
+    pts = np.zeros((1, 2, 256, 3), np.float32)
+    valid = np.zeros((1, 2, 256), bool)
+    real = (rng.normal(size=(1, 2, 64, 3)) * 20 + 500).astype(np.float32)
+    pts[:, :, :64] = real
+    valid[:, :, :64] = True
+    q, scale, off = _quantize_pts(pts, valid)
+    # step bounded by the REAL extent (~40-120 m), not the 500 m offset
+    assert scale <= np.abs(real - off).max() / 32766.0 * 1.0001
+    deq = q.astype(np.float32) * scale + off
+    assert np.abs(deq[:, :, :64] - real).max() <= scale * 0.501
+    # without the mask the old behavior would give a ~10x coarser step
+    _, scale_unmasked, _ = _quantize_pts(pts)
+    assert scale_unmasked > 3 * scale
+
+
+def test_trainer_val_cache_resets_on_new_sampler():
+    """A second validation with a DIFFERENT sampler must not reuse the
+    first sampler's cached padded data."""
+    from open3dsot_tpu.train.trainer import Trainer, init_variables
+
+    cfg = m2_cfg()
+    cfg.val_tracker = "scan"
+    model = get_model("m2track")(cfg)
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    sampler_a = get_dataset(cfg, "test", "test")
+    cfg_b = m2_cfg()
+    cfg_b.seed = 123  # different synthetic data
+    sampler_b = get_dataset(cfg_b, "test", "test")
+
+    tr = Trainer(model, cfg, work_dir=None)
+    s_a, p_a = tr._validate(variables, sampler_a)
+    cache_a = tr._val_prep_cache
+    s_b, p_b = tr._validate(variables, sampler_b)
+    assert tr._val_prep_cache is not cache_a, "cache must reset per sampler"
+    # and the b metrics must equal a fresh, cache-free evaluation of b
+    from open3dsot_tpu.tracking.scan_tracker import evaluate_dataset_scan
+
+    s_ref, p_ref = evaluate_dataset_scan(model, variables, sampler_b, cfg)
+    assert s_b == pytest.approx(s_ref)
+    assert p_b == pytest.approx(p_ref)
