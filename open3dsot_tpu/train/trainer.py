@@ -217,6 +217,7 @@ class Trainer:
         # sampler for its raw-frame twin; the build runs inside the jitted
         # step (both train_motion and train_siamese)
         device_builder = None
+        self._pack_raw = None
         if getattr(cfg, "device_sampler", False) and hasattr(train_sampler, "dataset"):
             from open3dsot_tpu.data import device_sampler as ds
             from open3dsot_tpu.geometry import rigid
@@ -232,6 +233,13 @@ class Trainer:
                 train_sampler = ds.RawSiameseSampler(
                     train_sampler.dataset, cfg, max_raw_points=raw_p)
                 device_builder = ds.make_siamese_builder(cfg, A=A)
+            if device_builder is not None and getattr(
+                cfg, "transfer_quant", None
+            ):
+                # ship the raw frames int16 fixed-point (halved H2D bytes);
+                # the builder dequantizes on device before the sample build
+                device_builder = ds.dequant_builder(device_builder)
+                self._pack_raw = ds.pack_raw_batch
         loader = BatchLoader(
             train_sampler, cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.seed,
             workers=getattr(cfg, "workers", 0) or 0,
@@ -281,6 +289,8 @@ class Trainer:
             for i, batch in enumerate(loader):
                 if steps_per_epoch is not None and i >= steps_per_epoch:
                     break
+                if self._pack_raw is not None:
+                    batch = self._pack_raw(batch)
                 batch = shard_batch(batch, self.mesh)
                 if bn_sched is not None:
                     state, loss_dict = train_step(state, batch, bn_m)

@@ -453,3 +453,115 @@ def test_augment_wraps_box_theta():
         assert np.all(th > -np.pi - 1e-6) and np.all(th <= np.pi + 1e-6)
         flipped = flipped or np.any(np.abs(th - theta0) > 1.0)
     assert flipped  # at least one flip branch actually exercised
+
+
+class TestRawTransferQuant:
+    """int16 raw-frame transfer packing on the training path
+    (config.transfer_quant + device_sampler): pack_raw_batch /
+    dequant_builder / quantize_per_sample."""
+
+    def test_quantize_per_sample_roundtrip_and_ranges(self):
+        from open3dsot_tpu.data.device_sampler import quantize_per_sample
+
+        rng = np.random.default_rng(0)
+        pts = np.zeros((3, 64, 3), np.float32)
+        valid = np.zeros((3, 64), bool)
+        # sample 0: near origin; sample 1: far away (global frame);
+        # sample 2: empty (all padding)
+        pts[0, :40] = rng.normal(size=(40, 3)) * 5
+        valid[0, :40] = True
+        pts[1, :40] = rng.normal(size=(40, 3)) * 5 + 700
+        valid[1, :40] = True
+        q, scale, off = quantize_per_sample(pts, valid)
+        deq = q.astype(np.float32) * scale[:, None, None] + off[:, None, :]
+        for b in range(2):
+            v = valid[b]
+            assert np.abs(deq[b, v] - pts[b, v]).max() <= scale[b] * 0.501
+            # per-sample range: the far sample's step is NOT inflated by
+            # its distance from the origin
+            assert scale[b] <= 5 * 4 / 32766.0 * 2
+        assert np.isfinite(deq).all()
+
+    def test_dequant_builder_matches_unpacked(self):
+        """The packed+dequantized path must reproduce the exact builder
+        outputs to quantization tolerance (same key, same randoms)."""
+        from open3dsot_tpu.data import get_dataset
+        from open3dsot_tpu.data.device_sampler import (
+            dequant_builder,
+            pack_raw_batch,
+        )
+        from open3dsot_tpu.data.loader import collate
+
+        cfg = _cfg(point_sample_size=32, use_augmentation=True,
+                   num_candidates=2)
+        ds = get_dataset(cfg, "train_motion", "train").dataset
+        raw_sampler = RawMotionSampler(ds, cfg, max_raw_points=128)
+        batch = collate([raw_sampler[i] for i in [0, 1, 5, 7]])
+        build = jax.jit(make_motion_builder(cfg))
+        build_q = jax.jit(dequant_builder(make_motion_builder(cfg)))
+        key = jax.random.PRNGKey(7)
+        out = build({k: jnp.asarray(v) for k, v in batch.items()}, key)
+        packed = pack_raw_batch(batch)
+        assert packed["prev_pts"].dtype == np.int16
+        out_q = build_q({k: jnp.asarray(v) for k, v in packed.items()}, key)
+        assert set(out) == set(out_q)
+        # continuous channels: within a few quantization steps
+        np.testing.assert_allclose(
+            np.asarray(out_q["points"])[..., :3],
+            np.asarray(out["points"])[..., :3], atol=5e-3)
+        # discrete labels: near-total agreement (only boundary points of the
+        # in-box tests can flip under <=2mm perturbation)
+        seg_a = np.asarray(out["seg_label"])
+        seg_b = np.asarray(out_q["seg_label"])
+        assert (seg_a == seg_b).mean() > 0.97
+        np.testing.assert_allclose(
+            np.asarray(out_q["box_label"]), np.asarray(out["box_label"]),
+            atol=1e-2)
+
+    def test_trainer_fit_with_raw_transfer_quant(self, tmp_path):
+        from tests.test_trainer import cfg_for_trainer
+        from open3dsot_tpu.data import get_dataset
+        from open3dsot_tpu.models import get_model
+        from open3dsot_tpu.train.trainer import Trainer
+
+        cfg = cfg_for_trainer(tmp_path, device_sampler=True,
+                              max_raw_points=128, box_aware=True,
+                              bc_weight=1.0, transfer_quant="int16")
+        model = get_model("m2track")(cfg)
+        train_sampler = get_dataset(cfg, "train_motion", "train")
+        trainer = Trainer(model, cfg, work_dir=str(tmp_path))
+        state = trainer.fit(train_sampler, val_sampler=None, epochs=1)
+        assert int(state.step) > 0
+        assert np.isfinite(trainer.history[-1]["loss"])
+
+
+def test_trainer_fit_siamese_raw_transfer_quant(tmp_path):
+    """Siamese raw path (first/template/search keys) under int16 packing."""
+    from open3dsot_tpu.data import get_dataset
+    from open3dsot_tpu.models import get_model
+    from open3dsot_tpu.train.trainer import Trainer
+
+    cfg = make_config(dict(
+        dataset="synthetic", net_model="bat", category_name="Car",
+        template_size=32, search_size=64,
+        model_bb_scale=1.25, model_bb_offset=0.0,
+        search_bb_scale=1.25, search_bb_offset=2.0,
+        degrees=True, up_axis=[0, 0, 1], data_limit_box=True,
+        train_type="train_siamese", num_candidates=2, box_aware=True,
+        use_augmentation=True, feature_channel=16, hidden_channel=16,
+        out_channel=16, vote_channel=16, num_proposal=8, k=2, bc_channel=9,
+        use_fps=True, normalize_xyz=False,
+        objectiveness_weight=1.0, box_weight=0.2, seg_weight=0.1,
+        vote_weight=1.0, bc_weight=1.0,
+        batch_size=4, epoch=1, lr=1e-3, optimizer="Adam",
+        lr_decay_step=20, lr_decay_rate=0.1, wd=0.0, gradient_clip_val=0.0,
+        log_dir=str(tmp_path), syn_num_tracklets=2, syn_tracklet_len=4,
+        seed=0, device_sampler=True, max_raw_points=128,
+        transfer_quant="int16",
+    ))
+    model = get_model("bat")(cfg)
+    sampler = get_dataset(cfg, "train_siamese", "train")
+    trainer = Trainer(model, cfg, work_dir=str(tmp_path))
+    state = trainer.fit(sampler, val_sampler=None, epochs=1)
+    assert int(state.step) > 0
+    assert np.isfinite(trainer.history[-1]["loss"])
