@@ -72,7 +72,30 @@ def _timed_fps(track, args, real_frames: int, passes: int = 5):
     return real_frames / dt, dt
 
 
+def _require_live_backend(timeout_s: float = 120.0):
+    """Fail fast (clear one-line error, non-zero exit) if the device backend
+    is unreachable — the remote-TPU tunnel can hang `jax.devices()` forever,
+    which would otherwise hang the whole driver run."""
+    import threading
+
+    got = []
+    t = threading.Thread(target=lambda: got.append(jax.devices()), daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not got:
+        print(json.dumps({
+            "metric": "tracking_fps_single_stream",
+            "value": None,
+            "unit": "frames/s",
+            "vs_baseline": None,
+            "error": f"device backend unreachable (jax.devices() hung "
+                     f">{timeout_s:.0f}s; remote-TPU tunnel down)",
+        }))
+        sys.exit(3)
+
+
 def main():
+    _require_live_backend()
     from open3dsot_tpu.config import make_config
     from open3dsot_tpu.data import get_dataset
     from open3dsot_tpu.models import get_model
