@@ -62,9 +62,11 @@ def parse_args():
                              "(geometry/iou_device.py)")
     parser.add_argument("--transfer_quant", type=str, default=None,
                         choices=["int16"],
-                        help="with --tracker scan: ship eval frame points as "
-                             "fixed-point int16 (halved H2D bytes, in-jit "
-                             "dequant; <=2 mm step)")
+                        help="ship frame points host->device as fixed-point "
+                             "int16 (halved H2D bytes, in-jit dequant, "
+                             "<=2 mm step of per-sample extent): applies to "
+                             "--tracker scan eval, the online trackers, and "
+                             "the --device_sampler training path")
     return parser.parse_args()
 
 

@@ -94,12 +94,12 @@ DEFAULTS: Dict[str, Any] = {
     # raw frames — it is ~10x too slow to build samples itself on 1 core
     "device_sampler": False,
     "max_raw_points": 2048,
-    # scan-eval host->device transfer packing: None ships padded frame
-    # points as f32; 'int16' ships a fixed-point encoding (per-dispatch
-    # offset/scale over the VALID points, <=2mm quantization at +/-64 m
-    # extent) and dequantizes inside the jitted scan — halves eval H2D
-    # bytes for links where transfer binds (this environment's tunnel;
-    # see BENCH_E2E_EVAL.md)
+    # host->device transfer packing: None ships padded frame points as f32;
+    # 'int16' ships a fixed-point encoding (offset/scale over the VALID
+    # points, <=2mm quantization at +/-64 m extent) dequantized in-jit —
+    # halves H2D bytes on the scan/online eval paths AND the
+    # device_sampler training path, for links where transfer binds (this
+    # environment's tunnel; see BENCH_E2E_EVAL.md)
     "transfer_quant": None,
     # cache the padded validation arrays across epochs (zero host padding
     # after epoch 1); pins the padded val set in host RAM — disable for
