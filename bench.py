@@ -78,18 +78,27 @@ def _require_live_backend(timeout_s: float = 120.0):
     which would otherwise hang the whole driver run."""
     import threading
 
-    got = []
-    t = threading.Thread(target=lambda: got.append(jax.devices()), daemon=True)
+    got, err = [], []
+
+    def probe():
+        try:
+            got.append(jax.devices())
+        except Exception as e:  # report the REAL failure, not a fake hang
+            err.append(f"{type(e).__name__}: {e}")
+
+    t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
     if not got:
+        reason = (err[0] if err else
+                  f"jax.devices() hung >{timeout_s:.0f}s (remote-TPU "
+                  f"tunnel down)")
         print(json.dumps({
             "metric": "tracking_fps_single_stream",
             "value": None,
             "unit": "frames/s",
             "vs_baseline": None,
-            "error": f"device backend unreachable (jax.devices() hung "
-                     f">{timeout_s:.0f}s; remote-TPU tunnel down)",
+            "error": f"device backend unreachable: {reason}",
         }))
         sys.exit(3)
 

@@ -578,26 +578,7 @@ _RAW_PT_KEYS = ("prev_pts", "this_pts", "first_pts", "template_pts",
                 "search_pts")
 
 
-def quantize_per_sample(pts: np.ndarray, valid: np.ndarray):
-    """(B, P, 3) f32 + (B, P) bool -> int16 q, (B,) scale, (B, 3) off.
-
-    Ranges over VALID rows per sample (pad rows clip; every consumer masks
-    them with the same valid array)."""
-    v = valid[..., None]
-    lo = np.where(v, pts, np.inf).min(axis=1)    # (B, 3)
-    hi = np.where(v, pts, -np.inf).max(axis=1)
-    empty = ~np.isfinite(lo).all(axis=1)
-    lo = np.where(empty[:, None], 0.0, lo)
-    hi = np.where(empty[:, None], 0.0, hi)
-    off = ((lo + hi) * 0.5).astype(np.float32)   # (B, 3)
-    scale = np.maximum(
-        (np.abs(hi - off)).max(axis=1) / 32766.0, 1e-6
-    ).astype(np.float32)                          # (B,)
-    q = np.clip(
-        np.rint((pts - off[:, None, :]) / scale[:, None, None]),
-        -32768, 32767,
-    ).astype(np.int16)
-    return q, scale, off
+from open3dsot_tpu.utils.quant import quantize_per_sample  # noqa: E402 — THE shared codec
 
 
 def pack_raw_batch(batch: dict) -> dict:
@@ -618,16 +599,14 @@ def dequant_builder(builder):
     """Wrap a device builder to accept int16-packed raw batches: the
     dequantization runs on device inside the jitted train step."""
 
+    from open3dsot_tpu.utils.quant import dequantize
+
     def wrapped(raw, key):
         raw = dict(raw)
         for k in _RAW_PT_KEYS:
             qs = k + "_qscale"
             if qs in raw:
-                raw[k] = (
-                    raw[k].astype(jnp.float32)
-                    * raw.pop(qs)[:, None, None]
-                    + raw.pop(k + "_qoff")[:, None, :]
-                )
+                raw[k] = dequantize(raw[k], raw.pop(qs), raw.pop(k + "_qoff"))
         return builder(raw, key)
 
     return wrapped

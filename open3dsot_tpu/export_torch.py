@@ -70,6 +70,12 @@ def _trace_mapping(template_sd: Dict[str, np.ndarray], config):
                 raise AssertionError(
                     f"importer mixed torch keys into one leaf at {coll}/{path}"
                 )
+            if not (float(t0).is_integer() and 0 <= t0 <= len(keys)):
+                raise AssertionError(
+                    f"importer transformed a tag non-structurally at "
+                    f"{coll}/{path} (traced value {t0}) — the tag-trace "
+                    f"inversion only supports value-preserving mappings"
+                )
             if t0 == 0.0:
                 # the importer zero-fills exactly the torch-suppressed biases
                 assert path[-2:] == ("dense", "bias"), (coll, path)

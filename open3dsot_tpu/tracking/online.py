@@ -51,7 +51,7 @@ class _OnlineBase:
         self.max_points = int(max_points)
         # 'int16' ships each step's frame points fixed-point (halved H2D
         # bytes, dequantized in-jit) — same scheme as the offline scan
-        # trackers (config.transfer_quant, scan_tracker._quantize_pts)
+        # trackers (config.transfer_quant, utils/quant.py)
         if transfer_dtype is None:
             transfer_dtype = getattr(config, "transfer_quant", None)
         self.transfer_dtype = transfer_dtype
@@ -84,16 +84,26 @@ class _OnlineBase:
         return jax.device_put(tree, self._slot_sharding)
 
     def _make_advance_q(self, advance):
-        """int16-transfer entry: dequantize on device, then advance."""
+        """int16-transfer entry: per-sample dequantize (utils/quant.py) on
+        device, then advance."""
+        from open3dsot_tpu.utils.quant import dequantize
 
         @jax.jit
         def advance_q(variables, state, scale, off, q, valid):
-            pts = q.astype(jnp.float32) * scale + off
-            return advance(variables, state, pts, valid)
+            return advance(variables, state, dequantize(q, scale, off), valid)
 
         return advance_q
 
     # -- slot bookkeeping ---------------------------------------------------
+    def _check_slot(self, slot):
+        # negative slots would silently alias another stream via numpy
+        # negative indexing; out-of-range would raise a raw IndexError
+        if not (isinstance(slot, (int, np.integer))
+                and 0 <= slot < self.max_streams):
+            raise ValueError(
+                f"slot must be an int in [0, {self.max_streams}) — got {slot!r}"
+            )
+
     def free_slots(self):
         return [i for i in range(self.max_streams) if not self._active[i]]
 
@@ -123,6 +133,7 @@ class _OnlineBase:
         pts = np.zeros((self.max_streams, P, 3), np.float32)
         valid = np.zeros((self.max_streams, P), bool)
         for slot, p in frames.items():
+            self._check_slot(slot)
             if not self._active[slot]:
                 raise ValueError(f"slot {slot} is not active; call reset()")
             pts[slot], valid[slot] = _pad_one(p, P)
@@ -132,9 +143,9 @@ class _OnlineBase:
                 self._place(pts), self._place(valid)
             )
         else:
-            from open3dsot_tpu.tracking.scan_tracker import _quantize_pts
+            from open3dsot_tpu.utils.quant import quantize_per_sample
 
-            q, scale, off = _quantize_pts(pts, valid)
+            q, scale, off = quantize_per_sample(pts, valid)
             self._state, boxes = self._advance_q(
                 self.variables, self._state, jnp.asarray(scale),
                 jnp.asarray(off), self._place(q), self._place(valid)
@@ -197,6 +208,7 @@ class OnlineM2Tracker(_OnlineBase):
         """Start tracking in `slot`: `points` is the first frame's (N, 3)
         cloud, `box` the first-frame geometry.Box (as in the reference eval
         loop, results_bbs[0] is the given first box)."""
+        self._check_slot(slot)
         pts, valid = _pad_one(points, self.max_points)
         self._state = self._reset_slot(
             self._state, slot, jnp.asarray(pts), jnp.asarray(valid),
@@ -272,6 +284,7 @@ class OnlineMatchTracker(_OnlineBase):
         (N, 3) array), `box` the first-frame geometry.Box. Computes the
         constant first-frame template crop exactly like the offline tracker
         (MatchScanTracker._prepare)."""
+        self._check_slot(slot)
         from open3dsot_tpu.geometry.data_classes import PointCloud
 
         cfg = self.config

@@ -204,7 +204,7 @@ class MatchScanTracker(_TransferDispatchMixin):
                  first_crop_points: int = 1024, frame_bucket: int = 16,
                  mesh=None, transfer_dtype=None):
         # 'int16' ships fixed-point frame points (halved H2D bytes,
-        # dequantized in-jit, scan_tracker._quantize_pts); None = exact f32
+        # dequantized in-jit, utils/quant.py); None = exact f32
         if transfer_dtype is None:
             transfer_dtype = getattr(config, "transfer_quant", None)
         self.transfer_dtype = transfer_dtype
@@ -333,18 +333,13 @@ class MatchScanTracker(_TransferDispatchMixin):
         return (sequences, B_real, T_pad,
                 pts, valid, wlh, init, first_pts, first_valid)
 
-    def _gt_args(self, sequences, T_pad):
-        """Per-frame gt box params/wlh, required as scan inputs by the gt
-        reference_BB modes ('previous_gt'/'current_gt')."""
-        from open3dsot_tpu.tracking.scan_tracker import _gt_arrays
-
-        gt_params, gt_wlh = _gt_arrays(sequences, T_pad, self._A_np)
-        return gt_params, gt_wlh
-
     def track_batch(self, sequences: Sequence[list]) -> List[np.ndarray]:
         (sequences, B_real, T_pad, pts, valid, wlh, init,
          first_pts, first_valid) = self._prepare(sequences)
-        gt = self._gt_args(sequences, T_pad) if self._gt_mode else ()
+        from open3dsot_tpu.tracking.scan_tracker import _gt_arrays
+
+        gt = (_gt_arrays(sequences, T_pad, self._A_np)
+              if self._gt_mode else ())
         boxes = np.asarray(
             self._dispatch_track(pts, valid, wlh, init,
                                  first_pts, first_valid, *gt)
@@ -371,7 +366,9 @@ class MatchScanTracker(_TransferDispatchMixin):
         else:
             (sequences, B_real, T_pad, pts, valid, wlh, init,
              first_pts, first_valid) = self._prepare(sequences)
-            gt_params, gt_wlh = self._gt_args(sequences, T_pad)
+            from open3dsot_tpu.tracking.scan_tracker import _gt_arrays
+
+            gt_params, gt_wlh = _gt_arrays(sequences, T_pad, self._A_np)
             # cache the TRANSFER form (variables-independent; int16 halves
             # the cache's resident bytes)
             packed = _pack_transfer(self.transfer_dtype, pts, valid)

@@ -85,40 +85,13 @@ def _select_fixed(points: jnp.ndarray, valid: jnp.ndarray, n: int,
     return jnp.where(count[..., None] > 0, out, jnp.zeros_like(out))
 
 
-def _quantize_pts(pts: np.ndarray, valid: np.ndarray = None):
-    """Fixed-point-encode padded frame points for transfer (config
-    transfer_quant='int16'): per-dispatch midrange offset + symmetric int16
-    scale, so dequantization `q * scale + off` is one fused device op. The
-    quantization step is extent/32766 (<=2 mm at +/-64 m of REAL-point
-    extent), well under lidar noise; exactness-sensitive paths keep the
-    default f32 transfer.
-
-    valid: optional bool mask matching pts[..., 0]. The offset/scale are
-    computed over VALID points only — zero-pad rows would otherwise anchor
-    the range to the coordinate origin and inflate the step by orders of
-    magnitude for clouds far from it (global-frame nuScenes/Waymo). Pad
-    rows may overflow the int16 range; they are clipped (their dequantized
-    coordinates are garbage, which is fine — every consumer masks them out
-    with the same `valid`)."""
-    flat = pts.reshape(-1, 3)
-    if valid is not None:
-        v = np.asarray(valid).reshape(-1)
-        flat = flat[v] if v.any() else flat[:1]
-    lo = flat.min(axis=0)
-    hi = flat.max(axis=0)
-    off = ((lo + hi) * 0.5).astype(np.float32)
-    scale = np.float32(max(np.abs(flat - off).max() / 32766.0, 1e-6))
-    q = np.clip(np.rint((pts - off) / scale), -32768, 32767).astype(np.int16)
-    return q, scale, off
-
-
 def _dequant_entry(track_fn):
     """Wrap a track_fn to accept (variables, scale, off, q, *rest) with the
-    dequantization running on device inside the jit."""
+    per-sample dequantization (utils/quant.py) running on device in-jit."""
+    from open3dsot_tpu.utils.quant import dequantize
 
     def entry(variables, scale, off, q, *rest):
-        pts = q.astype(jnp.float32) * scale + off
-        return track_fn(variables, pts, *rest)
+        return track_fn(variables, dequantize(q, scale, off), *rest)
 
     return entry
 
@@ -144,12 +117,15 @@ def pad_frame(p: np.ndarray, P: int):
 
 def _pack_transfer(transfer_dtype, pts, valid):
     """Host-side transfer packing of padded frame points: () around the f32
-    array as-is, or the ('int16') fixed-point triple ordered for the
-    _dequant_entry signature. Variables-independent, so prep caches store
-    the packed form and repeated evals skip re-quantization too."""
+    array as-is, or the ('int16') per-sample fixed-point triple
+    (utils/quant.py) ordered for the _dequant_entry signature.
+    Variables-independent, so prep caches store the packed form and
+    repeated evals skip re-quantization too."""
     if transfer_dtype is None:
         return (np.asarray(pts),)
-    q, scale, off = _quantize_pts(pts, valid)
+    from open3dsot_tpu.utils.quant import quantize_per_sample
+
+    q, scale, off = quantize_per_sample(pts, valid)
     return (scale, off, q)
 
 

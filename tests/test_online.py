@@ -7,6 +7,7 @@ float reassociation (the two compilations may fuse differently; measured
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -216,8 +217,8 @@ def test_mesh_online_requires_divisible_slots():
 
 def test_int16_transfer_matches_dequantized_f32():
     """The online int16 path must equal the f32 path fed the same
-    dequantized frames (only WHERE q*scale+off runs differs)."""
-    from open3dsot_tpu.tracking.scan_tracker import _quantize_pts
+    dequantized frames (only WHERE the decode runs differs)."""
+    from open3dsot_tpu.utils.quant import dequantize, quantize_per_sample
 
     cfg, model, variables, sampler = _m2_setup()
     seq = sampler[0]
@@ -235,9 +236,11 @@ def test_int16_transfer_matches_dequantized_f32():
         # feed the f32 tracker the dequantized REAL rows the int16 path saw
         # (its pad rows re-pad to exact zeros; both are valid-masked out)
         pts = np.zeros((2, 256, 3), np.float32)
-        pts[0], _ = _pad_one(f[t], 256)
-        q, scale, off = _quantize_pts(pts)
-        deq = q.astype(np.float32) * np.float32(scale) + off
+        valid = np.zeros((2, 256), bool)
+        pts[0], valid[0] = _pad_one(f[t], 256)
+        q, scale, off = quantize_per_sample(pts, valid)
+        deq = np.asarray(dequantize(jnp.asarray(q), jnp.asarray(scale),
+                                    jnp.asarray(off)))
         n = min(len(f[t]), 256)
         b_f = tr_f.step({0: deq[0][:n]})[0]
         assert np.array_equal(b_q, b_f)

@@ -1,5 +1,5 @@
 """int16 fixed-point transfer packing for the scan eval paths
-(config.transfer_quant: scan_tracker._quantize_pts + in-jit dequant)."""
+(config.transfer_quant: utils/quant.py per-sample codec + in-jit dequant)."""
 
 import jax
 import jax.numpy as jnp
@@ -8,7 +8,8 @@ import pytest
 
 from open3dsot_tpu.data import get_dataset
 from open3dsot_tpu.models import get_model
-from open3dsot_tpu.tracking.scan_tracker import M2ScanTracker, _quantize_pts
+from open3dsot_tpu.tracking.scan_tracker import M2ScanTracker
+from open3dsot_tpu.utils.quant import dequantize, quantize_per_sample
 
 from tests.test_scan_tracker import m2_cfg
 
@@ -16,20 +17,59 @@ from tests.test_scan_tracker import m2_cfg
 def test_quantize_roundtrip_bound():
     rng = np.random.default_rng(0)
     pts = (rng.normal(size=(4, 6, 128, 3)) * 20).astype(np.float32)
-    q, scale, off = _quantize_pts(pts)
-    assert q.dtype == np.int16
-    deq = q.astype(np.float32) * scale + off
+    valid = np.ones((4, 6, 128), bool)
+    q, scale, off = quantize_per_sample(pts, valid)
+    assert q.dtype == np.int16 and scale.shape == (4,) and off.shape == (4, 3)
+    deq = np.asarray(dequantize(jnp.asarray(q), jnp.asarray(scale),
+                                jnp.asarray(off)))
     # half a quantization step plus f32 division rounding near .5 boundaries
-    assert np.abs(deq - pts).max() <= scale * 0.501
-    # worst-case step at the documented bound: extent/32766
-    assert scale <= np.abs(pts - off).max() / 32766.0 * 1.0001
+    for b in range(4):
+        assert np.abs(deq[b] - pts[b]).max() <= scale[b] * 0.501
+        # worst-case step at the documented bound: per-sample extent/32766
+        assert scale[b] <= np.abs(pts[b] - off[b]).max() / 32766.0 * 1.0001
 
 
 def test_quantize_degenerate_constant_cloud():
     pts = np.full((1, 2, 8, 3), 3.25, np.float32)
-    q, scale, off = _quantize_pts(pts)
-    deq = q.astype(np.float32) * scale + off
+    valid = np.ones((1, 2, 8), bool)
+    q, scale, off = quantize_per_sample(pts, valid)
+    deq = np.asarray(dequantize(jnp.asarray(q), jnp.asarray(scale),
+                                jnp.asarray(off)))
     assert np.allclose(deq, pts, atol=1e-5)
+
+
+def test_quantize_range_ignores_pad_zeros():
+    """Zero-pad rows must not anchor the range to the origin: a cloud at
+    ~500 m (global-frame nuScenes/Waymo) keeps its <=2mm-of-own-extent step."""
+    rng = np.random.default_rng(1)
+    pts = np.zeros((1, 2, 256, 3), np.float32)
+    valid = np.zeros((1, 2, 256), bool)
+    real = (rng.normal(size=(1, 2, 64, 3)) * 20 + 500).astype(np.float32)
+    pts[:, :, :64] = real
+    valid[:, :, :64] = True
+    q, scale, off = quantize_per_sample(pts, valid)
+    # step bounded by the REAL extent (~40-120 m), not the 500 m offset
+    assert scale[0] <= np.abs(real - off[0]).max() / 32766.0 * 1.0001
+    deq = np.asarray(dequantize(jnp.asarray(q), jnp.asarray(scale),
+                                jnp.asarray(off)))
+    assert np.abs(deq[:, :, :64] - real).max() <= scale[0] * 0.501
+
+
+def test_quantize_per_sample_ranges_are_independent():
+    """Two tracklets far apart in the world frame each keep their OWN tight
+    range — a per-dispatch range would inflate both steps to ~the
+    inter-tracklet distance / 32766."""
+    rng = np.random.default_rng(2)
+    pts = np.zeros((2, 1, 64, 3), np.float32)
+    valid = np.ones((2, 1, 64), bool)
+    pts[0] = rng.normal(size=(1, 64, 3)) * 10           # near origin
+    pts[1] = rng.normal(size=(1, 64, 3)) * 10 + 9000    # 9 km away
+    q, scale, off = quantize_per_sample(pts, valid)
+    per_dispatch_scale = 9000.0 / 2 / 32766.0
+    assert scale.max() < per_dispatch_scale / 50
+    deq = np.asarray(dequantize(jnp.asarray(q), jnp.asarray(scale),
+                                jnp.asarray(off)))
+    assert np.abs(deq - pts).max() <= scale.max() * 0.501
 
 
 class TestQuantTracker:
@@ -43,7 +83,7 @@ class TestQuantTracker:
 
     def test_quant_dispatch_equals_host_dequant_through_f32_path(self, setup):
         """The int16 path must equal the f32 path fed the SAME dequantized
-        points — the only difference is WHERE q*scale+off runs (both IEEE
+        points — the only difference is WHERE the decode runs (both IEEE
         f32), so boxes match exactly."""
         cfg, model, variables, sampler = setup
         tr_q = M2ScanTracker(model, variables, cfg, max_points=256,
@@ -51,8 +91,9 @@ class TestQuantTracker:
         tr_f = M2ScanTracker(model, variables, cfg, max_points=256)
         seqs = [sampler[0], sampler[1]]
         _, _, _, pts, valid, wlh, init = tr_f._prepare(seqs)
-        q, scale, off = _quantize_pts(pts)
-        deq = q.astype(np.float32) * np.float32(scale) + off
+        q, scale, off = quantize_per_sample(pts, valid)
+        deq = np.asarray(dequantize(jnp.asarray(q), jnp.asarray(scale),
+                                    jnp.asarray(off)))
         boxes_q = np.asarray(tr_q._dispatch_track(pts, valid, wlh, init))
         boxes_f = np.asarray(
             tr_f._track(variables, jnp.asarray(deq), jnp.asarray(valid),
@@ -75,26 +116,6 @@ class TestQuantTracker:
                                          tracker=tr_f, max_tracklets=2)
         assert s_q == pytest.approx(s_f, abs=3.0)
         assert p_q == pytest.approx(p_f, abs=3.0)
-
-
-def test_quantize_range_ignores_pad_zeros():
-    """Zero-pad rows must not anchor the range to the origin: a cloud at
-    ~500 m (global-frame nuScenes/Waymo) keeps its <=2mm-of-own-extent step
-    when the valid mask is supplied."""
-    rng = np.random.default_rng(1)
-    pts = np.zeros((1, 2, 256, 3), np.float32)
-    valid = np.zeros((1, 2, 256), bool)
-    real = (rng.normal(size=(1, 2, 64, 3)) * 20 + 500).astype(np.float32)
-    pts[:, :, :64] = real
-    valid[:, :, :64] = True
-    q, scale, off = _quantize_pts(pts, valid)
-    # step bounded by the REAL extent (~40-120 m), not the 500 m offset
-    assert scale <= np.abs(real - off).max() / 32766.0 * 1.0001
-    deq = q.astype(np.float32) * scale + off
-    assert np.abs(deq[:, :, :64] - real).max() <= scale * 0.501
-    # without the mask the old behavior would give a ~10x coarser step
-    _, scale_unmasked, _ = _quantize_pts(pts)
-    assert scale_unmasked > 3 * scale
 
 
 def test_trainer_val_cache_resets_on_new_sampler():
