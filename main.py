@@ -60,6 +60,10 @@ def parse_args():
                              "host (geometry/iou.py) instead of the default "
                              "pipelined on-device scoring "
                              "(geometry/iou_device.py)")
+    parser.add_argument("--save_results", type=str, default=None,
+                        help="write per-tracklet predicted trajectories + "
+                             "per-frame IoU/distance to this JSONL path "
+                             "(tracking/results.py)")
     parser.add_argument("--transfer_quant", type=str, default=None,
                         choices=["int16"],
                         help="ship frame points host->device as fixed-point "
@@ -77,7 +81,8 @@ def main():
     overrides = {
         k: v
         for k, v in vars(args).items()
-        if k not in ("cfg", "test", "checkpoint", "max_tracklets", "num_devices")
+        if k not in ("cfg", "test", "checkpoint", "max_tracklets",
+                     "num_devices", "save_results")
         and v is not None
     }
     # reference semantics: these argparse values override YAML even at their
@@ -112,6 +117,11 @@ def main():
             print("WARNING: no --checkpoint given; evaluating random init")
             variables = init_variables(model, jax.random.PRNGKey(cfg.seed))
         test_sampler = get_dataset(cfg, "test", cfg.test_split)
+        writer = None
+        if args.save_results:
+            from open3dsot_tpu.tracking.results import ResultsWriter
+
+            writer = ResultsWriter(args.save_results, cfg)
         if args.tracker == "scan":
             if cfg.net_model.lower() == "m2track":
                 from open3dsot_tpu.tracking.scan_tracker import evaluate_dataset_scan
@@ -121,6 +131,7 @@ def main():
                     max_tracklets=args.max_tracklets,
                     device_metrics=not args.host_metrics,
                     shard_across_processes=jax.process_count() > 1,
+                    results_writer=writer,
                 )
             else:
                 from open3dsot_tpu.tracking.scan_matching import (
@@ -132,13 +143,19 @@ def main():
                     max_tracklets=args.max_tracklets,
                     device_metrics=not args.host_metrics,
                     shard_across_processes=jax.process_count() > 1,
+                    results_writer=writer,
                 )
         else:
             succ, prec = evaluate_dataset(
                 model, variables, test_sampler, cfg,
                 max_tracklets=args.max_tracklets, verbose=True,
                 shard_across_processes=jax.process_count() > 1,
+                results_writer=writer,
             )
+        if writer is not None:
+            writer.close()
+            print(f"saved {writer.n_written} tracklet trajectories "
+                  f"to {writer.path}")
         print(f"success/test: {succ:.2f}  precision/test: {prec:.2f}")
         return
 

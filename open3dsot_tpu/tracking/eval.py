@@ -62,7 +62,8 @@ class Tracker:
 
 def evaluate_dataset(model, variables, test_sampler, config,
                      max_tracklets: Optional[int] = None, verbose: bool = False,
-                     shard_across_processes: bool = False):
+                     shard_across_processes: bool = False,
+                     results_writer=None):
     """Run the tracker over every tracklet; returns (success, precision).
 
     Distributed eval (replacing the reference's Lightning DDP test sharding,
@@ -70,6 +71,9 @@ def evaluate_dataset(model, variables, test_sampler, config,
     `process_index, process_index + process_count, ...` and the fixed-size
     metric count-vectors are summed across hosts at the end — O(22 floats)
     of communication regardless of dataset size.
+
+    results_writer: optional tracking.results.ResultsWriter — persists each
+    tracklet's predicted trajectory + per-frame scores.
     """
     tracker = Tracker(model, variables)
     success, precision = Success(), Precision()
@@ -81,7 +85,9 @@ def evaluate_dataset(model, variables, test_sampler, config,
         start, step = jax.process_index(), jax.process_count()
     for i in range(start, n, step):
         sequence = test_sampler[i]
-        ious, distances, _ = tracker.evaluate_one_sequence(sequence, config)
+        ious, distances, result_bbs = tracker.evaluate_one_sequence(sequence, config)
+        if results_writer is not None:
+            results_writer.add(i, result_bbs, ious, distances)
         success.update(ious)
         precision.update(distances)
         if verbose:

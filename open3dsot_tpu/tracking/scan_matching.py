@@ -447,7 +447,8 @@ def evaluate_dataset_scan_matching(model, variables, test_sampler, config,
                                    device_metrics: bool = True,
                                    pipeline_depth: int = 3,
                                    shard_across_processes: bool = False,
-                                   prep_cache: Optional[dict] = None):
+                                   prep_cache: Optional[dict] = None,
+                                   results_writer=None):
     """Batched scan eval over a whole dataset; returns (success, precision).
 
     Pass a prebuilt `tracker` to reuse its compiled scan across calls
@@ -484,6 +485,14 @@ def evaluate_dataset_scan_matching(model, variables, test_sampler, config,
     n = len(test_sampler)
     if max_tracklets is not None:
         n = min(n, max_tracklets)
+    if results_writer is not None:
+        # results-saving mode: order-preserving index batches, host-scored
+        # (the writer needs the Box trajectories on the host anyway)
+        from open3dsot_tpu.tracking.scan_tracker import _scan_eval_with_writer
+
+        return _scan_eval_with_writer(
+            tracker, test_sampler, config, n, batch_tracklets,
+            shard_across_processes, results_writer, success, precision)
     if prep_cache is not None and "batches" in prep_cache:
         batches = prep_cache["batches"]
     else:

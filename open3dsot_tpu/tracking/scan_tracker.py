@@ -503,7 +503,8 @@ def evaluate_dataset_scan(model, variables, test_sampler, config,
                           device_metrics: bool = True,
                           pipeline_depth: int = 3,
                           shard_across_processes: bool = False,
-                          prep_cache: Optional[dict] = None):
+                          prep_cache: Optional[dict] = None,
+                          results_writer=None):
     """Scan-tracker dataset evaluation; returns (success, precision).
 
     Tracklets are grouped into same-length-bucket batches of up to
@@ -542,6 +543,12 @@ def evaluate_dataset_scan(model, variables, test_sampler, config,
     if max_tracklets is not None:
         n = min(n, max_tracklets)
 
+    if results_writer is not None:
+        # results-saving mode: order-preserving index batches, host-scored
+        # (the writer needs the Box trajectories on the host anyway)
+        return _scan_eval_with_writer(
+            tracker, test_sampler, config, n, batch_tracklets,
+            shard_across_processes, results_writer, success, precision)
     if prep_cache is not None and "batches" in prep_cache:
         batches = prep_cache["batches"]
     else:
@@ -593,3 +600,26 @@ def _merge_process_metrics(success, precision, shard_across_processes):
                 multihost_utils.process_allgather(metric.state())
             )
             metric.load_state(gathered.sum(axis=0))
+
+
+def _scan_eval_with_writer(tracker, test_sampler, config, n, batch_tracklets,
+                           shard_across_processes, results_writer,
+                           success, precision):
+    """Shared results-saving eval loop for both scan trackers: consecutive
+    index batches (true tracklet ids in the records), host-scored via
+    tracker.evaluate_sequences so the Box trajectories exist on the host."""
+    start, step = 0, 1
+    if shard_across_processes:
+        start, step = jax.process_index(), jax.process_count()
+    idxs = list(range(start, n, step))
+    for j in range(0, len(idxs), batch_tracklets):
+        ids = idxs[j:j + batch_tracklets]
+        batch = [test_sampler[i] for i in ids]
+        for i, (ious, distances, bbs) in zip(
+            ids, tracker.evaluate_sequences(batch, config)
+        ):
+            results_writer.add(i, bbs, ious, distances)
+            success.update(ious)
+            precision.update(distances)
+    _merge_process_metrics(success, precision, shard_across_processes)
+    return success.compute(), precision.compute()
