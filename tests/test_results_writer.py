@@ -77,3 +77,22 @@ def test_records_are_plain_json(setup, tmp_path):
     with open(path) as f:
         for line in f:
             json.loads(line)  # every line valid standalone JSON
+
+
+def test_matching_scan_eval_writes_consistent_results(tmp_path):
+    from open3dsot_tpu.tracking.scan_matching import (
+        evaluate_dataset_scan_matching,
+    )
+
+    from tests.test_scan_matching import cfg_for as match_cfg
+
+    cfg = match_cfg("p2b")
+    model = get_model("p2b")(cfg)
+    variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
+    sampler = get_dataset(cfg, "test", "test")
+    path = str(tmp_path / "match.jsonl")
+    with ResultsWriter(path, cfg) as w:
+        succ, prec = evaluate_dataset_scan_matching(
+            model, variables, sampler, cfg, max_points=1024, results_writer=w
+        )
+    _check_file(path, cfg, sampler, succ, prec, len(sampler))
