@@ -244,3 +244,20 @@ def test_int16_transfer_matches_dequantized_f32():
         n = min(len(f[t]), 256)
         b_f = tr_f.step({0: deq[0][:n]})[0]
         assert np.array_equal(b_q, b_f)
+
+
+def test_slot_range_validated():
+    """Out-of-range and negative slots raise ValueError (negative numpy
+    indexing would silently alias another stream)."""
+    cfg, model, variables, sampler = _m2_setup()
+    seq = sampler[0]
+    f = _frames(seq)
+    online = OnlineM2Tracker(model, variables, cfg, max_streams=2,
+                             max_points=256)
+    with pytest.raises(ValueError, match="slot"):
+        online.reset(-1, f[0], seq[0]["3d_bbox"])
+    with pytest.raises(ValueError, match="slot"):
+        online.reset(2, f[0], seq[0]["3d_bbox"])
+    online.reset(1, f[0], seq[0]["3d_bbox"])
+    with pytest.raises(ValueError, match="slot"):
+        online.step({-1: f[1], 1: f[1]})
