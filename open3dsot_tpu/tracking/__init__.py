@@ -7,6 +7,10 @@ from open3dsot_tpu.tracking.online import (  # noqa: F401
     OnlineMatchTracker,
     make_online_tracker,
 )
+from open3dsot_tpu.tracking.serving_export import (  # noqa: F401
+    load_serving_bundle,
+    save_serving_bundle,
+)
 from open3dsot_tpu.tracking.scan_matching import (  # noqa: F401
     MatchScanTracker,
     evaluate_dataset_scan_matching,
