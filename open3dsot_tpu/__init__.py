@@ -8,3 +8,24 @@ over a device mesh instead of DDP/NCCL.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache (cross-process). Full-model compiles on
+# the remote-helper TPU backend take 5-10 minutes each; with this cache a
+# second process (another bench script, a rerun, the driver) loads the
+# executable in <1 s. Opt out with OPEN3DSOT_NO_COMPILE_CACHE=1; an
+# explicit user-set jax cache dir wins.
+if (not _os.environ.get("OPEN3DSOT_NO_COMPILE_CACHE")
+        and _jax.config.jax_compilation_cache_dir is None):
+    _cache = _os.environ.get(
+        "OPEN3DSOT_COMPILE_CACHE",
+        _os.path.expanduser("~/.cache/open3dsot_tpu/xla"),
+    )
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+    except OSError:
+        pass  # unwritable cache location: compile as before

@@ -62,6 +62,9 @@ def _load():
     lib.box_cloud.argtypes = [f32p, i64, f64p, f32p]
     lib.gather_rows.restype = None
     lib.gather_rows.argtypes = [f32p, i64, i64, ctypes.POINTER(ctypes.c_int64), i64, f32p]
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.quantize_per_sample.restype = None
+    lib.quantize_per_sample.argtypes = [f32p, u8p, i64, i64, i16p, f32p, f32p]
     _lib = lib
     return lib
 
@@ -119,6 +122,33 @@ def points_in_box_native(points_n3: np.ndarray, rot_world_to_local: np.ndarray,
         mask.ctypes.data_as(lib.points_in_box.argtypes[5]),
     )
     return mask.astype(bool)
+
+
+def quantize_per_sample_native(pts: np.ndarray, valid: np.ndarray):
+    """Single-pass native twin of utils/quant.quantize_per_sample —
+    bit-exact (same f32 arithmetic, round-half-to-even). pts (B, ..., 3)
+    f32 + valid (B, ...) bool -> (q int16 like pts, scale (B,), off (B, 3)).
+    Returns None when the native lib is unavailable (caller falls back)."""
+    lib = _load()
+    if lib is None:
+        return None
+    pts = _f32c(pts)
+    B = pts.shape[0]
+    flat = pts.reshape(B, -1, 3)
+    v = np.ascontiguousarray(
+        np.asarray(valid, bool).reshape(B, -1), dtype=np.uint8
+    )
+    m = flat.shape[1]
+    q = np.empty(flat.shape, dtype=np.int16)
+    scale = np.empty((B,), dtype=np.float32)
+    off = np.empty((B, 3), dtype=np.float32)
+    a = lib.quantize_per_sample.argtypes
+    lib.quantize_per_sample(
+        flat.ctypes.data_as(a[0]), v.ctypes.data_as(a[1]), B, m,
+        q.ctypes.data_as(a[4]), scale.ctypes.data_as(a[5]),
+        off.ctypes.data_as(a[6]),
+    )
+    return q.reshape(pts.shape), scale, off
 
 
 def box_cloud_native(points_n3: np.ndarray, keypoints_9x3: np.ndarray) -> np.ndarray:

@@ -104,6 +104,69 @@ void box_cloud(const float* points, int64_t n, const double* keypoints9x3,
     }
 }
 
+// Per-sample int16 fixed-point quantization of padded point batches — the
+// native twin of utils/quant.py::quantize_per_sample (same semantics,
+// bit-exact: f32 arithmetic, round-half-to-even, per-sample midrange
+// offset + symmetric scale over the VALID rows). numpy needs ~8 passes
+// over the batch; this is two (min/max, then encode), which matters
+// because the eval pipeline's host side is the critical path on small
+// hosts (see BENCH_E2E_EVAL.md).
+//   pts: (b, m, 3) f32, valid: (b, m) uint8 -> q (b, m, 3) int16,
+//   scale (b,) f32, off (b, 3) f32.
+void quantize_per_sample(const float* pts, const uint8_t* valid,
+                         int64_t b, int64_t m,
+                         int16_t* q, float* scale, float* off) {
+    for (int64_t s = 0; s < b; ++s) {
+        const float* p = pts + s * m * 3;
+        const uint8_t* v = valid + s * m;
+        float lo[3], hi[3];
+        int64_t nvalid = 0;
+        for (int64_t i = 0; i < m; ++i) {
+            if (!v[i]) continue;
+            if (nvalid == 0) {
+                lo[0] = hi[0] = p[3 * i];
+                lo[1] = hi[1] = p[3 * i + 1];
+                lo[2] = hi[2] = p[3 * i + 2];
+            } else {
+                for (int c = 0; c < 3; ++c) {
+                    const float x = p[3 * i + c];
+                    if (x < lo[c]) lo[c] = x;
+                    if (x > hi[c]) hi[c] = x;
+                }
+            }
+            ++nvalid;
+        }
+        if (nvalid == 0) {
+            lo[0] = lo[1] = lo[2] = hi[0] = hi[1] = hi[2] = 0.0f;
+        }
+        float sc = 0.0f;
+        for (int c = 0; c < 3; ++c) {
+            off[3 * s + c] = (lo[c] + hi[c]) * 0.5f;
+            const float d = std::fabs(hi[c] - off[3 * s + c]);
+            if (d > sc) sc = d;
+        }
+        sc = sc / 32766.0f;
+        if (!(sc > 1e-6f)) sc = 1e-6f;
+        scale[s] = sc;
+        // per-element f32 divide (not reciprocal-multiply): a reciprocal
+        // differs in the last ulp from numpy's divide, and the contract is
+        // bit-exactness with the numpy encoder
+        const float ox = off[3 * s], oy = off[3 * s + 1], oz = off[3 * s + 2];
+        int16_t* qo = q + s * m * 3;
+        for (int64_t i = 0; i < m; ++i) {
+            const float r0 = std::rint((p[3 * i] - ox) / sc);
+            const float r1 = std::rint((p[3 * i + 1] - oy) / sc);
+            const float r2 = std::rint((p[3 * i + 2] - oz) / sc);
+            qo[3 * i] = (int16_t)(r0 < -32768.f ? -32768.f
+                                                : (r0 > 32767.f ? 32767.f : r0));
+            qo[3 * i + 1] = (int16_t)(r1 < -32768.f ? -32768.f
+                                                    : (r1 > 32767.f ? 32767.f : r1));
+            qo[3 * i + 2] = (int16_t)(r2 < -32768.f ? -32768.f
+                                                    : (r2 > 32767.f ? 32767.f : r2));
+        }
+    }
+}
+
 // Gather rows: out[i] = points[idx[i]] for (n_out) int64 indices over (n, c).
 void gather_rows(const float* points, int64_t n, int64_t c,
                  const int64_t* idx, int64_t n_out, float* out) {

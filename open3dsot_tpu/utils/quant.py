@@ -25,7 +25,22 @@ import numpy as np
 def quantize_per_sample(pts: np.ndarray, valid: np.ndarray):
     """pts (B, ..., 3) f32 + valid (B, ...) bool -> (q int16 like pts,
     scale (B,), off (B, 3)). Ranges over valid rows per leading-axis sample;
-    an all-invalid sample gets off=0, scale=1e-6."""
+    an all-invalid sample gets off=0, scale=1e-6.
+
+    Dispatches to the bit-exact single-pass native encoder when the C++
+    lib is built (native/geomlib.cpp::quantize_per_sample — the numpy
+    path below is ~8 memory passes and sits on the eval pipeline's host
+    critical path; tests/test_transfer_quant.py pins native == numpy)."""
+    from open3dsot_tpu.native import quantize_per_sample_native
+
+    native = quantize_per_sample_native(pts, valid)
+    if native is not None:
+        return native
+    return _quantize_per_sample_numpy(pts, valid)
+
+
+def _quantize_per_sample_numpy(pts: np.ndarray, valid: np.ndarray):
+    """The numpy semantic reference (and no-toolchain fallback)."""
     pts = np.asarray(pts, np.float32)
     B = pts.shape[0]
     flat = pts.reshape(B, -1, 3)

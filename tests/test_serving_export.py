@@ -97,6 +97,28 @@ def test_bundle_is_self_describing(tmp_path):
         load_serving_bundle(tmp_path / "b")
 
 
+def test_multi_platform_bundle(tmp_path):
+    """platforms=["cpu", "tpu"] lowers one program for both backends — the
+    deployment shape: export once on a CPU build host, serve on TPU. (Here
+    only the cpu leg can execute; lowering for tpu must still succeed and
+    the bundle must round-trip.)"""
+    import json
+
+    cfg = m2_cfg()
+    model = get_model("m2track")(cfg)
+    variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
+    sampler = get_dataset(cfg, "test", "test")
+    seqs = [sampler[0]]
+    live = OnlineM2Tracker(model, variables, cfg, max_streams=2,
+                           max_points=256)
+    want = _run(live, seqs)
+    save_serving_bundle(live, tmp_path / "b", platforms=["cpu", "tpu"])
+    meta = json.loads((tmp_path / "b" / "meta.json").read_text())
+    assert meta["platforms"] == ["cpu", "tpu"]
+    got = _run(load_serving_bundle(tmp_path / "b"), seqs)
+    np.testing.assert_array_equal(want[0], got[0])
+
+
 def test_mesh_tracker_refuses_export(tmp_path):
     from open3dsot_tpu.parallel.mesh import make_mesh
 

@@ -143,3 +143,34 @@ def test_trainer_val_cache_resets_on_new_sampler():
     s_ref, p_ref = evaluate_dataset_scan(model, variables, sampler_b, cfg)
     assert s_b == pytest.approx(s_ref)
     assert p_b == pytest.approx(p_ref)
+
+
+def test_native_quantizer_bit_exact_vs_numpy():
+    """The C++ single-pass encoder (native/geomlib.cpp::quantize_per_sample)
+    must be BIT-exact vs the numpy semantic reference — same f32 arithmetic,
+    same round-half-to-even — over padded rows, all-invalid samples, odd
+    trailing shapes, and half-ulp rounding points."""
+    import numpy as np
+
+    from open3dsot_tpu.native import available, quantize_per_sample_native
+    from open3dsot_tpu.utils.quant import _quantize_per_sample_numpy
+
+    if not available():
+        pytest.skip("native lib not built (no toolchain)")
+    rng = np.random.default_rng(42)
+    for shape in [(16, 1024, 3), (8, 32, 256, 3), (4, 7, 3), (1, 1, 3)]:
+        pts = (rng.standard_normal(shape) * 37.5).astype(np.float32)
+        valid = rng.random(shape[:-1]) > 0.3
+        valid[0] = False  # all-invalid sample branch
+        got = quantize_per_sample_native(pts, valid)
+        want = _quantize_per_sample_numpy(pts, valid)
+        for g, w in zip(got, want):
+            assert g.dtype == w.dtype and np.array_equal(g, w)
+    # half-integer quantization points exercise the rounding mode
+    pts = np.array([[[0.0, 0.5, 1.5], [2.5, -0.5, -1.5]]], np.float32)
+    pts = pts * 1e-6  # scale floor makes steps land exactly on .5
+    valid = np.ones((1, 2), bool)
+    got = quantize_per_sample_native(pts, valid)
+    want = _quantize_per_sample_numpy(pts, valid)
+    for g, w in zip(got, want):
+        assert np.array_equal(g, w)
