@@ -24,7 +24,8 @@ once. This module provides that surface, TPU-style:
 
 Matching models online are restricted to reference_BB='previous_result'
 (the gt modes need per-frame ground truth, which does not exist at serving
-time); all three on-device shape_aggregation template modes work.
+time); all four shape_aggregation template modes run on device ('all'
+keeps its per-slot template ring pool as device state).
 """
 
 from __future__ import annotations
@@ -224,7 +225,7 @@ class OnlineMatchTracker(_OnlineBase):
 
     def __init__(self, model, variables, config, max_streams: int = 8,
                  max_points: int = 1024, first_crop_points: int = 1024,
-                 mesh=None, transfer_dtype=None):
+                 mesh=None, transfer_dtype=None, template_pool: int = 4096):
         super().__init__(model, variables, config, max_streams, max_points,
                          mesh=mesh, transfer_dtype=transfer_dtype)
         from open3dsot_tpu.tracking.scan_matching import (
@@ -244,29 +245,47 @@ class OnlineMatchTracker(_OnlineBase):
                                gt_mode=False)
         self.first_crop_points = int(first_crop_points)
         B, P, P1 = self.max_streams, self.max_points, self.first_crop_points
-        self._state = self._place({
+        pooled = agg_mode == "all"
+        state = {
             "ref": np.zeros((B, 4), np.float32),
             "prev_pts": np.zeros((B, P, 3), np.float32),
             "prev_valid": np.zeros((B, P), bool),
             "first_pts": np.zeros((B, P1, 3), np.float32),
             "first_valid": np.zeros((B, P1), bool),
             "wlh": np.ones((B, 3), np.float32),
-        })
+        }
+        if pooled:
+            # 'all' carries the per-slot template ring pool (+ scratch tail,
+            # see scan_matching.make_match_step) as device-resident state
+            C = int(getattr(config, "template_pool", template_pool))
+            state["pool_pts"] = np.zeros((B, C + P, 3), np.float32)
+            state["pool_ok"] = np.zeros((B, C + P), bool)
+            state["cursor"] = np.zeros((B,), np.int32)
+        self._state = self._place(state)
 
         @jax.jit
         def advance(variables, state, new_pts, new_valid):
             xs = (state["prev_pts"], state["prev_valid"], new_pts, new_valid)
-            (new_ref, new_wlh), _ = step(
+            carry = (state["ref"], state["wlh"])
+            if pooled:
+                carry = carry + (state["pool_pts"], state["pool_ok"],
+                                 state["cursor"])
+            new_carry, _ = step(
                 variables, state["wlh"], state["first_pts"],
-                state["first_valid"], (state["ref"], state["wlh"]), xs
+                state["first_valid"], carry, xs
             )
+            new_ref, new_wlh = new_carry[:2]
             new_state = dict(state, ref=new_ref, wlh=new_wlh,
                              prev_pts=new_pts, prev_valid=new_valid)
+            if pooled:
+                new_state.update(pool_pts=new_carry[2], pool_ok=new_carry[3],
+                                 cursor=new_carry[4])
             return new_state, new_ref
 
         @jax.jit
         def reset_slot(state, slot, pts, valid, fpts, fvalid, wlh, init):
-            return dict(
+            new = dict(
+                state,
                 ref=state["ref"].at[slot].set(init),
                 prev_pts=state["prev_pts"].at[slot].set(pts),
                 prev_valid=state["prev_valid"].at[slot].set(valid),
@@ -274,6 +293,13 @@ class OnlineMatchTracker(_OnlineBase):
                 first_valid=state["first_valid"].at[slot].set(fvalid),
                 wlh=state["wlh"].at[slot].set(wlh),
             )
+            if pooled:
+                # a fresh stream starts with an EMPTY pool
+                new.update(
+                    pool_ok=state["pool_ok"].at[slot].set(False),
+                    cursor=state["cursor"].at[slot].set(0),
+                )
+            return new
 
         self._advance = advance
         self._advance_q = self._make_advance_q(advance)

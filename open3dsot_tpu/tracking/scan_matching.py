@@ -4,11 +4,13 @@ Mirrors the eval semantics of MatchingBaseModel
 (/root/reference/models/base_model.py:166-247) but runs the whole tracklet
 on device in one `lax.scan`. Supported modes:
 
-- shape_aggregation 'firstandprevious' (shipped configs), 'first', and
-  'previous' run on device; 'all' (an unboundedly growing template merge,
-  base_model.py:190-194) stays on the host tracker via the fallback in
-  evaluate_dataset_scan_matching. Note the reference's 'previous' branch is
-  dead code (the `hape_aggregation` typo at base_model.py:186 raises
+- shape_aggregation 'firstandprevious' (shipped configs), 'first',
+  'previous', and 'all' run on device. 'all' (the reference's unboundedly
+  growing template merge, base_model.py:190-194) carries a fixed-capacity
+  ring pool of every previous frame's crop through the scan; pool overflow
+  overwrites the OLDEST points (documented deviation — the host tracker
+  remains the exact-semantics path). Note the reference's 'previous' branch
+  is dead code (the `hape_aggregation` typo at base_model.py:186 raises
   AttributeError); we implement the evident intent, matching our host path.
 - reference_BB 'previous_result' (shipped configs), 'previous_gt', and
   'current_gt' all run on device: the gt modes ship the per-frame gt box
@@ -66,9 +68,11 @@ from open3dsot_tpu.tracking.scan_tracker import (
 
 def parse_agg_mode(shape_aggregation: str) -> str:
     """Parse shape_aggregation with the reference's substring precedence
-    (base_model.py:177-194): firstandprevious > first > previous; 'all' has
-    no fixed-shape scan/online path (unbounded template merge) and raises —
-    callers fall back to the host tracker."""
+    (base_model.py:177-194): firstandprevious > first > previous > all.
+    'all' merges every previous frame's template crop; on device it runs
+    over a fixed-capacity ring pool carried through the scan (see
+    make_match_step) — capacity overflow overwrites the OLDEST points, a
+    documented deviation from the reference's unbounded host merge."""
     agg = shape_aggregation.upper()
     if "FIRSTANDPREVIOUS" in agg:
         return "firstandprevious"
@@ -76,11 +80,11 @@ def parse_agg_mode(shape_aggregation: str) -> str:
         return "first"
     if "PREVIOUS" in agg:
         return "previous"
+    if "ALL" in agg:
+        return "all"
     raise ValueError(
-        f"on-device tracking supports shape_aggregation 'firstandprevious'/"
-        f"'first'/'previous' (got {shape_aggregation!r}; 'all' grows the "
-        f"template merge unboundedly — use the host tracker, "
-        f"tracking/eval.py)"
+        f"unknown shape_aggregation {shape_aggregation!r} (expected "
+        f"firstandprevious/first/previous/all)"
     )
 
 
@@ -91,7 +95,10 @@ def make_match_step(model, config, A, is_bat, agg_mode, gt_mode):
     exactly equal by construction.
 
     Returns step(variables, wlh, first_pts, first_valid, carry, xs) with
-    carry = (ref_box (B, 4), ref_wlh (B, 3)) — the results_bbs chain's box
+    carry = (ref_box (B, 4), ref_wlh (B, 3)) — plus, when agg_mode='all',
+    (pool_pts (B, C+P, 3), pool_ok (B, C+P), cursor (B,)): the ring pool of
+    all previous template crops with its scratch tail and write cursor.
+    ref_box/ref_wlh are the results_bbs chain's box
     AND its dimensions, because getOffsetBB copies the anchor's wlh onto
     each prediction (points_utils.py:43-85): under previous_result the
     chain keeps the first box's wlh, under the gt modes each prediction
@@ -123,8 +130,15 @@ def make_match_step(model, config, A, is_bat, agg_mode, gt_mode):
     def step(variables, wlh, first_pts, first_valid, carry, xs):
         # results_bbs[t-1]: the prediction chain's box and its wlh (equal to
         # the first box's under previous_result; the previous gt anchor's
-        # under the gt modes)
-        ref_box, carry_wlh = carry
+        # under the gt modes). Under agg_mode='all' the carry additionally
+        # holds the template point POOL: a fixed-capacity ring of every
+        # previous frame's template crop (canonical), plus a scratch tail of
+        # max_points rows where each step's invalid rows land so a single
+        # scatter appends a frame without clobbering pooled points.
+        if agg_mode == "all":
+            ref_box, carry_wlh, pool_pts, pool_ok, cursor = carry
+        else:
+            ref_box, carry_wlh = carry
         prev_pts, prev_valid, this_pts, this_valid = xs[:4]
         B = ref_box.shape[0]
         half_wlh = jnp.stack(
@@ -144,6 +158,28 @@ def make_match_step(model, config, A, is_bat, agg_mode, gt_mode):
             if agg_mode == "previous":
                 template = _select_fixed(prev_local, prev_ok, t_size,
                                          mode=resample)
+            elif agg_mode == "all":
+                # reference 'all' (base_model.py:190-194): the template for
+                # frame t merges the crops of frames 0..t-1, each canonical
+                # to its own result box — exactly the prev crops this scan
+                # has computed so far. Append frame t-1's crop to the ring
+                # pool (valid rows take consecutive ring slots; invalid rows
+                # are routed to the scratch tail [C:C+P) so one scatter
+                # never clobbers pooled points), then sample the pool.
+                P = prev_pts.shape[1]
+                C = pool_pts.shape[1] - P
+                nval = jnp.cumsum(prev_ok.astype(jnp.int32), axis=1)
+                slot = jnp.where(
+                    prev_ok,
+                    (cursor[:, None] + nval - 1) % C,
+                    C + jnp.arange(P, dtype=jnp.int32)[None],
+                )
+                bidx = jnp.arange(B)[:, None]
+                pool_pts = pool_pts.at[bidx, slot].set(prev_local)
+                pool_ok = pool_ok.at[bidx, slot].set(prev_ok)
+                cursor = cursor + nval[:, -1]
+                template = _select_fixed(pool_pts[:, :C], pool_ok[:, :C],
+                                         t_size, mode=resample)
             else:  # firstandprevious: first crop (constant) U prev crop
                 merged_pts = jnp.concatenate([first_pts, prev_local], axis=1)
                 merged_ok = jnp.concatenate([first_valid, prev_ok], axis=1)
@@ -190,6 +226,8 @@ def make_match_step(model, config, A, is_bat, agg_mode, gt_mode):
         # and the new prediction inherits that anchor's wlh
         new_ref = rigid.get_offset_box(search_ref, offset, A=A)
         new_wlh = ref_wlh if gt_mode else carry_wlh
+        if agg_mode == "all":
+            return (new_ref, new_wlh, pool_pts, pool_ok, cursor), new_ref
         return (new_ref, new_wlh), new_ref
 
     return step
@@ -197,12 +235,16 @@ def make_match_step(model, config, A, is_bat, agg_mode, gt_mode):
 
 class MatchScanTracker(_TransferDispatchMixin):
     """Batched on-device tracker for P2B/BAT (template modes
-    firstandprevious/first/previous; reference_BB modes previous_result/
-    previous_gt/current_gt; 'all' templates fall back to the host path)."""
+    firstandprevious/first/previous/all; reference_BB modes previous_result/
+    previous_gt/current_gt). 'all' carries a fixed-capacity ring pool of
+    every previous frame's template crop through the scan (`template_pool`
+    points per tracklet; overflow overwrites the oldest points — a
+    documented deviation from the reference's unbounded host merge,
+    base_model.py:190-194; the host tracker remains the exact path)."""
 
     def __init__(self, model, variables, config, max_points: int = 4096,
                  first_crop_points: int = 1024, frame_bucket: int = 16,
-                 mesh=None, transfer_dtype=None):
+                 mesh=None, transfer_dtype=None, template_pool: int = 4096):
         # 'int16' ships fixed-point frame points (halved H2D bytes,
         # dequantized in-jit, utils/quant.py); None = exact f32
         if transfer_dtype is None:
@@ -245,6 +287,8 @@ class MatchScanTracker(_TransferDispatchMixin):
         self.max_points = max_points
         self.first_crop_points = first_crop_points
         self.frame_bucket = frame_bucket
+        template_pool = int(getattr(config, "template_pool", template_pool))
+        self.template_pool = template_pool
         self._scorer = None  # built lazily by dispatch_scored
         self.is_bat = hasattr(model.net, "bc_channel") or model.name == "bat"
 
@@ -267,9 +311,19 @@ class MatchScanTracker(_TransferDispatchMixin):
                     jnp.swapaxes(gt_params[:, sl], 0, 1),
                     jnp.swapaxes(gt_wlh[:, sl], 0, 1),
                 )
+            carry0 = (init_box, wlh)
+            if agg_mode == "all":
+                # empty ring pool + scratch tail (see make_match_step)
+                B, P = pts.shape[0], pts.shape[2]
+                C = int(template_pool)
+                carry0 = carry0 + (
+                    jnp.zeros((B, C + P, 3), pts.dtype),
+                    jnp.zeros((B, C + P), bool),
+                    jnp.zeros((B,), jnp.int32),
+                )
             _, boxes = jax.lax.scan(
                 partial(step, variables, wlh, first_pts, first_valid),
-                (init_box, wlh), xs
+                carry0, xs
             )
             return jnp.swapaxes(boxes, 0, 1)  # (B, T-1, 4)
 
@@ -453,8 +507,8 @@ def evaluate_dataset_scan_matching(model, variables, test_sampler, config,
 
     Pass a prebuilt `tracker` to reuse its compiled scan across calls
     (in-training validation); its variables are swapped for the given ones.
-    Configs the scan path cannot serve (shape_aggregation='all', unsupported
-    up_axis) fall back to the host fidelity tracker with a logged warning.
+    Configs the scan path cannot serve (e.g. unsupported up_axis) fall back
+    to the host fidelity tracker with a logged warning.
 
     device_metrics / pipeline_depth / shard_across_processes / prep_cache as
     in scan_tracker.evaluate_dataset_scan.

@@ -125,6 +125,13 @@ def save_serving_bundle(tracker, path, platforms=None):
         "up_axis": [float(v) for v in cfg.up_axis],
         "jax_version": jax.__version__,
         "platforms": list(platforms) if platforms else None,
+        # the device state pool is rebuilt from shape on load ('wlh' slots
+        # init to ones; everything else zeros — a slot must be reset()
+        # before use either way)
+        "state_shapes": {
+            k: [list(map(int, jnp.shape(v))), str(jnp.result_type(v))]
+            for k, v in tracker._state.items()
+        },
     }
     if family == "match":
         meta["first_crop_points"] = tracker.first_crop_points
@@ -163,22 +170,14 @@ def load_serving_bundle(path):
         max_streams=meta["max_streams"], max_points=meta["max_points"],
         mesh=None, transfer_dtype=meta["transfer_dtype"],
     )
-    B, P = self.max_streams, self.max_points
-    state = {
-        "ref": np.zeros((B, 4), np.float32),
-        "prev_pts": np.zeros((B, P, 3), np.float32),
-        "prev_valid": np.zeros((B, P), bool),
-        "wlh": np.ones((B, 3), np.float32),
-    }
     if meta["family"] == "match":
-        P1 = int(meta["first_crop_points"])
-        self.first_crop_points = P1
+        self.first_crop_points = int(meta["first_crop_points"])
         cfg.model_bb_scale = meta["model_bb_scale"]
         cfg.model_bb_offset = meta["model_bb_offset"]
-        state["first_pts"] = np.zeros((B, P1, 3), np.float32)
-        state["first_valid"] = np.zeros((B, P1), bool)
-    else:
-        state["idx"] = np.zeros((B,), np.int32)
+    state = {
+        k: (np.ones if k == "wlh" else np.zeros)(tuple(shape), dtype)
+        for k, (shape, dtype) in meta["state_shapes"].items()
+    }
     self._state = self._place(state)
 
     self._advance = _deserialized_call(path / "advance.stablehlo")

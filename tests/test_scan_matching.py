@@ -250,27 +250,100 @@ class TestAggregationAndRefModes:
             assert np.linalg.norm(boxes_p[t][:3] - anchor_p) < 5.0
             assert np.linalg.norm(boxes_c[t][:3] - anchor_c) < 5.0
 
-    def test_all_mode_falls_back_to_host(self):
-        """shape_aggregation='all' has no scan path (unbounded template
-        merge); the dataset driver must fall back to the host tracker and
-        return its exact metrics."""
-        from open3dsot_tpu.tracking.eval import evaluate_dataset
-        from open3dsot_tpu.tracking.scan_matching import (
-            evaluate_dataset_scan_matching,
-        )
+    def test_all_mode_runs_on_device(self):
+        """shape_aggregation='all' runs on device via the carried template
+        ring pool: the tracker builds, scores, and the template actually
+        accumulates (its trajectories differ from 'previous', whose template
+        is only the last crop, and from 'firstandprevious')."""
+        model_cache = {}
+
+        def track(agg, **kw):
+            cfg = cfg_for("p2b", shape_aggregation=agg)
+            if "model" not in model_cache:
+                model_cache["model"] = get_model("p2b")(cfg)
+                model_cache["vars"] = model_cache["model"].init(
+                    jax.random.PRNGKey(0), model_cache["model"].dummy_batch(2)
+                )
+                model_cache["sampler"] = get_dataset(cfg, "test", "test")
+            tracker = MatchScanTracker(
+                model_cache["model"], model_cache["vars"], cfg,
+                max_points=256, **kw
+            )
+            return tracker.track_batch([model_cache["sampler"][0]])[0]
+
+        out_all = track("all")
+        assert np.isfinite(out_all).all()
+        for other in ("previous", "firstandprevious"):
+            assert not np.allclose(out_all, track(other)), other
+        # a tiny pool forces ring wrap-around mid-tracklet; must stay finite
+        # and still produce a valid trajectory (oldest points overwritten)
+        out_tiny = track("all", template_pool=32)
+        assert np.isfinite(out_tiny).all()
+
+    def test_all_mode_pool_accumulates_crops_exactly(self):
+        """Unit contract of the 'all' carry: after k manual steps the ring
+        pool's valid points are EXACTLY the union of the k previous frames'
+        template crops (each canonical to its own carried result box) —
+        the reference's 'all' merge, base_model.py:190-194."""
+        from open3dsot_tpu.geometry import rigid
+        from open3dsot_tpu.tracking.scan_matching import make_match_step
+
+        cfg = cfg_for("p2b", shape_aggregation="all")
+        model = get_model("p2b")(cfg)
+        variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
+        step = make_match_step(model, cfg, None, False, "all", False)
+        B, P, C = 1, 32, 64
+        rng = np.random.default_rng(0)
+        wlh = jnp.asarray([[2.0, 4.0, 1.5]], jnp.float32)
+        m_half = (jnp.stack([wlh[:, 1], wlh[:, 0], wlh[:, 2]], -1) / 2
+                  * cfg.model_bb_scale + cfg.model_bb_offset)
+        carry = (jnp.zeros((B, 4), jnp.float32), wlh,
+                 jnp.zeros((B, C + P, 3), jnp.float32),
+                 jnp.zeros((B, C + P), bool),
+                 jnp.zeros((B,), jnp.int32))
+        fpts = jnp.zeros((B, 16, 3), jnp.float32)
+        fval = jnp.zeros((B, 16), bool)
+        valid = np.ones((B, P), bool)
+        valid[:, 20:] = False  # pad rows must never enter the pool
+        frames = [rng.standard_normal((B, P, 3)).astype(np.float32) * 0.5
+                  for _ in range(4)]
+        expected = []
+        for t in range(3):
+            ref = carry[0]
+            xs = (jnp.asarray(frames[t]), jnp.asarray(valid),
+                  jnp.asarray(frames[t + 1]), jnp.asarray(valid))
+            local = rigid.remove_transform_points(
+                jnp.asarray(frames[t]), ref, A=None)
+            inside = np.asarray(
+                jnp.all((local < m_half[:, None])
+                        & (local > -m_half[:, None]), -1)) & valid
+            expected.extend(map(tuple, np.asarray(local)[0][inside[0]]))
+            carry, _ = step(variables, wlh, fpts, fval, carry, xs)
+            pool_pts, pool_ok, cursor = map(np.asarray, carry[2:])
+            got = pool_pts[0][:C][pool_ok[0][:C]]
+            assert cursor[0] == len(expected)
+            assert sorted(map(tuple, got)) == sorted(expected), f"step {t}"
+
+    def test_all_mode_online_matches_offline(self):
+        """The online serving tracker carries the same pool state: its
+        'all'-mode trajectory must equal the offline scan's."""
+        from open3dsot_tpu.tracking.online import OnlineMatchTracker
 
         cfg = cfg_for("p2b", shape_aggregation="all")
         model = get_model("p2b")(cfg)
         variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
         sampler = get_dataset(cfg, "test", "test")
-        s_scan, p_scan = evaluate_dataset_scan_matching(
-            model, variables, sampler, cfg, max_tracklets=1
-        )
-        s_host, p_host = evaluate_dataset(
-            model, variables, sampler, cfg, max_tracklets=1
-        )
-        assert s_scan == pytest.approx(s_host)
-        assert p_scan == pytest.approx(p_host)
+        seq = sampler[0]
+        scan = MatchScanTracker(model, variables, cfg, max_points=256,
+                                template_pool=512)
+        want = scan.track_batch([seq])[0]
+        online = OnlineMatchTracker(model, variables, cfg, max_streams=2,
+                                    max_points=256, template_pool=512)
+        frames = [f["pc"].points.T.astype(np.float32) for f in seq]
+        online.reset(0, seq[0]["pc"], seq[0]["3d_bbox"])
+        got = np.stack([online.step({0: frames[t]})[0]
+                        for t in range(1, len(seq))])
+        np.testing.assert_allclose(want, got, rtol=0, atol=2e-5)
 
     def test_gt_mode_on_mesh(self):
         """The gt reference_BB modes carry two extra batched scan inputs;
