@@ -330,9 +330,12 @@ class MatchScanTracker(_TransferDispatchMixin):
         if self.transfer_dtype is not None:
             from open3dsot_tpu.tracking.scan_tracker import _dequant_entry
 
-            entry_fn, n_repl = _dequant_entry(track_fn), 3
+            # (scale, off, q) replace pts; scale (B,) / off (B, 3) are
+            # batch-leading, hence BATCHED under shard_map (only the
+            # variables are replicated)
+            entry_fn, n_extra = _dequant_entry(track_fn), 2
         else:
-            entry_fn, n_repl = track_fn, 1
+            entry_fn, n_extra = track_fn, 0
         if mesh is None:
             self._track = jax.jit(entry_fn)
             self._mesh_size = 1
@@ -345,8 +348,8 @@ class MatchScanTracker(_TransferDispatchMixin):
             from open3dsot_tpu.parallel import shard_map_batch
 
             self._track = jax.jit(
-                shard_map_batch(entry_fn, mesh, n_replicated=n_repl,
-                                n_batched=8 if self._gt_mode else 6)
+                shard_map_batch(entry_fn, mesh, n_replicated=1,
+                                n_batched=(8 if self._gt_mode else 6) + n_extra)
             )
             self._mesh_size = mesh.devices.size
 

@@ -363,9 +363,13 @@ class M2ScanTracker(_TransferDispatchMixin):
             return jnp.swapaxes(boxes, 0, 1)  # (B, T-1, 4)
 
         if self.transfer_dtype is not None:
-            entry_fn, n_repl = _dequant_entry(track_fn), 3
+            # the quantized entry takes (scale, off, q) in place of pts; the
+            # per-sample scale (B,) / off (B, 3) are batch-leading, so under
+            # shard_map they are BATCHED args like q — only the variables are
+            # replicated.
+            entry_fn, n_extra = _dequant_entry(track_fn), 2
         else:
-            entry_fn, n_repl = track_fn, 1
+            entry_fn, n_extra = track_fn, 0
         if mesh is None:
             self._track = jax.jit(entry_fn)
             self._mesh_size = 1
@@ -378,8 +382,8 @@ class M2ScanTracker(_TransferDispatchMixin):
             from open3dsot_tpu.parallel import shard_map_batch
 
             self._track = jax.jit(
-                shard_map_batch(entry_fn, mesh, n_replicated=n_repl,
-                                n_batched=4)
+                shard_map_batch(entry_fn, mesh, n_replicated=1,
+                                n_batched=4 + n_extra)
             )
             self._mesh_size = mesh.devices.size
 

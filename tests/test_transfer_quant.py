@@ -118,6 +118,50 @@ class TestQuantTracker:
         assert p_q == pytest.approx(p_f, abs=3.0)
 
 
+class TestQuantTrackerOnMesh:
+    """mesh= + transfer_dtype='int16' together: the per-sample scale (B,) /
+    off (B, 3) are batch-leading, so the shard_map specs must SHARD them with
+    q — replicating them (the round-3 regression this pins) made dequantize's
+    per-sample reshape fail at trace time on any mesh with >1 device."""
+
+    def test_m2_mesh_int16_matches_unsharded(self):
+        from open3dsot_tpu.parallel import make_mesh
+
+        cfg = m2_cfg()
+        model = get_model("m2track")(cfg)
+        variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
+        sampler = get_dataset(cfg, "test", "test")
+        seqs = [sampler[0], sampler[1]]
+        plain = M2ScanTracker(model, variables, cfg, max_points=256,
+                              transfer_dtype="int16")
+        sharded = M2ScanTracker(model, variables, cfg, max_points=256,
+                                transfer_dtype="int16", mesh=make_mesh(8))
+        a = plain.track_batch(seqs)
+        b = sharded.track_batch(seqs)
+        for x, y in zip(a, b):
+            assert np.allclose(x, y, atol=1e-4)
+
+    def test_matching_mesh_int16_matches_unsharded(self):
+        from open3dsot_tpu.parallel import make_mesh
+        from open3dsot_tpu.tracking.scan_matching import MatchScanTracker
+        from tests.test_scan_matching import cfg_for
+
+        cfg = cfg_for("p2b")
+        model = get_model("p2b")(cfg)
+        variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
+        sampler = get_dataset(cfg, "test", "test")
+        seqs = [sampler[0], sampler[1]]
+        kw = dict(max_points=256, first_crop_points=128,
+                  transfer_dtype="int16")
+        plain = MatchScanTracker(model, variables, cfg, **kw)
+        sharded = MatchScanTracker(model, variables, cfg, mesh=make_mesh(8),
+                                   **kw)
+        a = plain.track_batch(seqs)
+        b = sharded.track_batch(seqs)
+        for x, y in zip(a, b):
+            assert np.allclose(x, y, atol=1e-4)
+
+
 def test_trainer_val_cache_resets_on_new_sampler():
     """A second validation with a DIFFERENT sampler must not reuse the
     first sampler's cached padded data."""
