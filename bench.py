@@ -158,10 +158,12 @@ def main():
     peak = _peak_flops()
 
     def bench_case(batch_slice, passes):
+        from open3dsot_tpu.tracking.scan_tracker import _counts
+
         a = (
             tracker.variables,
             jnp.asarray(pts[batch_slice]),
-            jnp.asarray(valid[batch_slice]),
+            jnp.asarray(_counts(valid[batch_slice])),
             jnp.asarray(wlh[batch_slice]),
             jnp.asarray(init[batch_slice]),
         )
@@ -248,9 +250,12 @@ def main():
                 p = frame["pc"].points.T.astype(np.float32)[:P]
                 bpts[b, t, : len(p)] = p
                 bval[b, t, : len(p)] = True
+        from open3dsot_tpu.tracking.scan_tracker import _counts as _cn
+
         bat_args = (bat_tracker.variables, jnp.asarray(bpts),
-                    jnp.asarray(bval), jnp.asarray(bwlh), jnp.asarray(binit),
-                    jnp.asarray(bfirst), jnp.asarray(bfv))
+                    jnp.asarray(_cn(bval)), jnp.asarray(bwlh),
+                    jnp.asarray(binit), jnp.asarray(bfirst),
+                    jnp.asarray(_cn(bfv)))
         bat_frames = sum(len(s) - 1 for s in bat_seqs)
         bat_fps, _ = _timed_fps(bat_tracker._track, bat_args, bat_frames,
                                 passes=5)

@@ -132,14 +132,17 @@ def main():
         "",
         "On this remote-TPU setup the pipelined f32 rows are bound by the "
         "tunnel's ~35 MB/s host-to-device bandwidth (each frame ships "
-        "max_points*3 f32 = 12 KB of padded points); the int16 rows halve "
-        "that and are the fastest path now that the encoder is the "
-        "single-pass native one (native/geomlib.cpp::quantize_per_sample — "
-        "the earlier numpy encoder cost 57 ms/batch of host time and made "
-        "int16 a net LOSS on M2, whose host side is the critical path on "
-        "this 1-core machine). Locally attached TPUs would go substantially "
-        "faster still. The serial rows additionally pay the host polygon "
-        "clip per frame and a full pipeline drain per batch.",
+        "max_points*3 f32 = 12 KB of padded points; validity crosses as "
+        "per-frame int32 COUNTS — prefix masks, scan_tracker._counts — "
+        "not (T, P) bool arrays, which saved another byte per point); the "
+        "int16 rows halve the point bytes and are the fastest path now "
+        "that the encoder is the single-pass native one "
+        "(native/geomlib.cpp::quantize_per_sample — the earlier numpy "
+        "encoder cost 57 ms/batch of host time and made int16 a net LOSS "
+        "on M2, whose host side is the critical path on this 1-core "
+        "machine). Locally attached TPUs would go substantially faster "
+        "still. The serial rows additionally pay the host polygon clip "
+        "per frame and a full pipeline drain per batch.",
         "",
         "| model | eval loop | frames | s/pass | frames/s |",
         "|---|---|---|---|---|",

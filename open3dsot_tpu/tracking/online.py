@@ -147,9 +147,12 @@ class _OnlineBase:
             from open3dsot_tpu.utils.quant import quantize_per_sample
 
             q, scale, off = quantize_per_sample(pts, valid)
+            # scale/off are slot-leading like q — commit them to the mesh's
+            # slot sharding too (a replicated default would make GSPMD insert
+            # a reshard before the per-slot dequant broadcast)
             self._state, boxes = self._advance_q(
-                self.variables, self._state, jnp.asarray(scale),
-                jnp.asarray(off), self._place(q), self._place(valid)
+                self.variables, self._state, self._place(scale),
+                self._place(off), self._place(q), self._place(valid)
             )
         boxes = np.asarray(boxes)
         return {slot: boxes[slot] for slot in frames}

@@ -59,6 +59,8 @@ from open3dsot_tpu.geometry.data_classes import Box
 from open3dsot_tpu.geometry.iou import estimateAccuracy, estimateOverlap
 from open3dsot_tpu.geometry.quaternion import Quaternion
 from open3dsot_tpu.tracking.scan_tracker import (
+    _counts,
+    _expand_counts,
     _pack_transfer,
     _select_fixed,
     _TransferDispatchMixin,
@@ -296,8 +298,12 @@ class MatchScanTracker(_TransferDispatchMixin):
         step = make_match_step(model, config, A, self.is_bat,
                                self._agg_mode, gt_mode)
 
-        def track_fn(variables, pts, valid, wlh, init_box, first_pts,
-                     first_valid, *gt_args):
+        def track_fn(variables, pts, counts, wlh, init_box, first_pts,
+                     first_count, *gt_args):
+            # masks travel as prefix counts (scan_tracker._counts) and are
+            # re-expanded on device
+            valid = _expand_counts(counts, pts.shape[2])
+            first_valid = _expand_counts(first_count, first_pts.shape[1])
             xs = (
                 jnp.swapaxes(pts[:, :-1], 0, 1),
                 jnp.swapaxes(valid[:, :-1], 0, 1),
@@ -369,7 +375,7 @@ class MatchScanTracker(_TransferDispatchMixin):
         pts = np.zeros((B, T_pad, P, 3), np.float32)
         valid = np.zeros((B, T_pad, P), bool)
         first_pts = np.zeros((B, P1, 3), np.float32)
-        first_valid = np.zeros((B, P1), bool)
+        first_count = np.zeros((B,), np.int32)
         wlh = np.zeros((B, 3), np.float32)
         init = np.zeros((B, 4), np.float32)
         for b, seq in enumerate(sequences):
@@ -384,22 +390,22 @@ class MatchScanTracker(_TransferDispatchMixin):
             )
             fp = crop.points.T.astype(np.float32)[:P1]
             first_pts[b, : len(fp)] = fp
-            first_valid[b, : len(fp)] = True
+            first_count[b] = len(fp)
             for t, frame in enumerate(seq):
                 pts[b, t], valid[b, t] = pad_frame(frame["pc"].points.T, P)
         return (sequences, B_real, T_pad,
-                pts, valid, wlh, init, first_pts, first_valid)
+                pts, valid, wlh, init, first_pts, first_count)
 
     def track_batch(self, sequences: Sequence[list]) -> List[np.ndarray]:
         (sequences, B_real, T_pad, pts, valid, wlh, init,
-         first_pts, first_valid) = self._prepare(sequences)
+         first_pts, first_count) = self._prepare(sequences)
         from open3dsot_tpu.tracking.scan_tracker import _gt_arrays
 
         gt = (_gt_arrays(sequences, T_pad, self._A_np)
               if self._gt_mode else ())
         boxes = np.asarray(
             self._dispatch_track(pts, valid, wlh, init,
-                                 first_pts, first_valid, *gt)
+                                 first_pts, first_count, *gt)
         )
         return [
             boxes[b, : len(seq) - 1]
@@ -418,25 +424,26 @@ class MatchScanTracker(_TransferDispatchMixin):
         from open3dsot_tpu.tracking.scan_tracker import _make_scorer
 
         if prep_cache is not None and cache_key in prep_cache:
-            (sequences, B_real, T_pad, packed, valid, wlh, init,
-             first_pts, first_valid, gt_params, gt_wlh) = prep_cache[cache_key]
+            (sequences, B_real, T_pad, packed, counts, wlh, init,
+             first_pts, first_count, gt_params, gt_wlh) = prep_cache[cache_key]
         else:
             (sequences, B_real, T_pad, pts, valid, wlh, init,
-             first_pts, first_valid) = self._prepare(sequences)
+             first_pts, first_count) = self._prepare(sequences)
             from open3dsot_tpu.tracking.scan_tracker import _gt_arrays
 
             gt_params, gt_wlh = _gt_arrays(sequences, T_pad, self._A_np)
             # cache the TRANSFER form (variables-independent; int16 halves
-            # the cache's resident bytes)
+            # the cache's resident bytes; masks cached as prefix counts)
             packed = _pack_transfer(self.transfer_dtype, pts, valid)
+            counts = _counts(valid)
             if prep_cache is not None:
                 prep_cache[cache_key] = (
-                    sequences, B_real, T_pad, packed, valid, wlh, init,
-                    first_pts, first_valid, gt_params, gt_wlh,
+                    sequences, B_real, T_pad, packed, counts, wlh, init,
+                    first_pts, first_count, gt_params, gt_wlh,
                 )
         gt = (gt_params, gt_wlh) if self._gt_mode else ()
-        boxes = self._dispatch_packed(packed, valid, wlh, init,
-                                      first_pts, first_valid, *gt)
+        boxes = self._dispatch_packed(packed, counts, wlh, init,
+                                      first_pts, first_count, *gt)
         if self._scorer is None:
             self._scorer = _make_scorer(self.config)
         if self._gt_mode:

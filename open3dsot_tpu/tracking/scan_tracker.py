@@ -129,17 +129,33 @@ def _pack_transfer(transfer_dtype, pts, valid):
     return (scale, off, q)
 
 
+def _counts(valid: np.ndarray) -> np.ndarray:
+    """Per-frame valid-point counts. `pad_frame` (and the matching tracker's
+    first-crop fill) write validity as a PREFIX mask, so the (..., P) bool
+    array is fully encoded by its (...,) int32 row counts — that is what
+    crosses the H2D link (P× fewer mask bytes; the jitted entries expand the
+    mask back with one iota compare on device)."""
+    return np.ascontiguousarray(
+        np.asarray(valid, bool).sum(axis=-1, dtype=np.int32))
+
+
+def _expand_counts(counts: jnp.ndarray, P: int) -> jnp.ndarray:
+    """In-jit inverse of `_counts`: (...,) int32 -> (..., P) prefix mask."""
+    return jnp.arange(P, dtype=jnp.int32) < counts[..., None]
+
+
 class _TransferDispatchMixin:
     """Shared compiled-scan dispatch used by both scan trackers: packs the
-    points per self.transfer_dtype (rest[0] must be the validity mask that
-    bounds the quantization range) and invokes self._track."""
+    points per self.transfer_dtype (the mask arg bounds the quantization
+    range), collapses the validity mask to per-frame counts for the wire,
+    and invokes self._track."""
 
-    def _dispatch_track(self, pts, *rest):
-        packed = _pack_transfer(self.transfer_dtype, pts, rest[0])
-        return self._dispatch_packed(packed, *rest)
+    def _dispatch_track(self, pts, valid, *rest):
+        packed = _pack_transfer(self.transfer_dtype, pts, valid)
+        return self._dispatch_packed(packed, _counts(valid), *rest)
 
-    def _dispatch_packed(self, packed, *rest):
-        args = [jnp.asarray(a) for a in (*packed, *rest)]
+    def _dispatch_packed(self, packed, counts, *rest):
+        args = [jnp.asarray(a) for a in (*packed, counts, *rest)]
         return self._track(self.variables, *args)
 
 
@@ -349,9 +365,10 @@ class M2ScanTracker(_TransferDispatchMixin):
         step = make_m2_step(model, config, A, self.box_aware,
                             compute_dtype=self.compute_dtype)
 
-        def track_fn(variables, pts, valid, wlh, init_box):
-            """pts (B, T, P, 3), valid (B, T, P), wlh (B, 3), init (B, 4)
-            -> predicted world boxes (B, T-1, 4)."""
+        def track_fn(variables, pts, counts, wlh, init_box):
+            """pts (B, T, P, 3), counts (B, T) valid-prefix lengths,
+            wlh (B, 3), init (B, 4) -> predicted world boxes (B, T-1, 4)."""
+            valid = _expand_counts(counts, pts.shape[2])
             xs = (
                 jnp.swapaxes(pts[:, :-1], 0, 1),
                 jnp.swapaxes(valid[:, :-1], 0, 1),
@@ -445,19 +462,21 @@ class M2ScanTracker(_TransferDispatchMixin):
         (the caller owns invalidation).
         """
         if prep_cache is not None and cache_key in prep_cache:
-            (sequences, B_real, T_pad, packed, valid, wlh, init,
+            (sequences, B_real, T_pad, packed, counts, wlh, init,
              gt_params, gt_wlh) = prep_cache[cache_key]
         else:
             sequences, B_real, T_pad, pts, valid, wlh, init = \
                 self._prepare(sequences)
             gt_params, gt_wlh = _gt_arrays(sequences, T_pad, self._A_np)
             # cache the TRANSFER form: quantization is variables-independent
-            # too, and int16 halves the cache's resident bytes
+            # too, and int16 halves the cache's resident bytes; the mask is
+            # cached/shipped as per-frame counts (prefix validity)
             packed = _pack_transfer(self.transfer_dtype, pts, valid)
+            counts = _counts(valid)
             if prep_cache is not None:
                 prep_cache[cache_key] = (sequences, B_real, T_pad, packed,
-                                         valid, wlh, init, gt_params, gt_wlh)
-        boxes = self._dispatch_packed(packed, valid, wlh, init)
+                                         counts, wlh, init, gt_params, gt_wlh)
+        boxes = self._dispatch_packed(packed, counts, wlh, init)
         if self._scorer is None:
             self._scorer = _make_scorer(self.config)
         iou, dist = self._scorer(

@@ -66,9 +66,12 @@ def build(B: int):
             p = frame["pc"].points.T.astype(np.float32)[:P]
             pts[b, t, : len(p)] = p
             val[b, t, : len(p)] = True
-    args = (tracker.variables, jnp.asarray(pts), jnp.asarray(val),
+    from open3dsot_tpu.tracking.scan_tracker import _counts
+
+    args = (tracker.variables, jnp.asarray(pts),
+            jnp.asarray(_counts(val)),
             jnp.asarray(wlh), jnp.asarray(init), jnp.asarray(first),
-            jnp.asarray(fv))
+            jnp.asarray(_counts(fv)))
     frames = sum(len(s) - 1 for s in seqs)
     return tracker, args, frames
 

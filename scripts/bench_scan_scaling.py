@@ -53,7 +53,10 @@ def build(B: int, compute_dtype=None):
         wlh[b] = fb.wlh
         init[b] = np.append(
             fb.center, fb.orientation.radians * fb.orientation.axis[-1])
-    args = (tracker.variables, jnp.asarray(pts), jnp.asarray(valid),
+    from open3dsot_tpu.tracking.scan_tracker import _counts
+
+    args = (tracker.variables, jnp.asarray(pts),
+            jnp.asarray(_counts(valid)),
             jnp.asarray(wlh), jnp.asarray(init))
     frames = sum(len(s) - 1 for s in seqs)
     return tracker, args, frames

@@ -1,6 +1,7 @@
 """Matching-model (P2B/BAT) on-device scan tracker."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 

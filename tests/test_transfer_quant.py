@@ -94,9 +94,12 @@ class TestQuantTracker:
         q, scale, off = quantize_per_sample(pts, valid)
         deq = np.asarray(dequantize(jnp.asarray(q), jnp.asarray(scale),
                                     jnp.asarray(off)))
+        from open3dsot_tpu.tracking.scan_tracker import _counts
+
         boxes_q = np.asarray(tr_q._dispatch_track(pts, valid, wlh, init))
         boxes_f = np.asarray(
-            tr_f._track(variables, jnp.asarray(deq), jnp.asarray(valid),
+            tr_f._track(variables, jnp.asarray(deq),
+                        jnp.asarray(_counts(valid)),
                         jnp.asarray(wlh), jnp.asarray(init))
         )
         assert np.array_equal(boxes_q, boxes_f)
