@@ -134,9 +134,16 @@ def _counts(valid: np.ndarray) -> np.ndarray:
     first-crop fill) write validity as a PREFIX mask, so the (..., P) bool
     array is fully encoded by its (...,) int32 row counts — that is what
     crosses the H2D link (P× fewer mask bytes; the jitted entries expand the
-    mask back with one iota compare on device)."""
-    return np.ascontiguousarray(
-        np.asarray(valid, bool).sum(axis=-1, dtype=np.int32))
+    mask back with one iota compare on device). A non-prefix mask would be
+    silently re-expanded as a different valid set on device (wrong crops /
+    quant ranges), so it is rejected loudly here: rows must be monotone
+    non-increasing (no True after a False)."""
+    v = np.asarray(valid, bool)
+    if v.shape[-1] > 1 and np.any(v[..., 1:] & ~v[..., :-1]):
+        raise ValueError(
+            "_counts: validity mask is not a prefix mask; the count encoding "
+            "would change the valid set on device")
+    return np.ascontiguousarray(v.sum(axis=-1, dtype=np.int32))
 
 
 def _expand_counts(counts: jnp.ndarray, P: int) -> jnp.ndarray:

@@ -114,8 +114,6 @@ class TestLimitBox:
         """Emulation preserves the reference's quirks
         (points_utils.py:70-76): only POSITIVE overshoot triggers, the y
         bound is min(l, 2), z only with use_z (and is exactly 0 there)."""
-        import jax.numpy as jnp
-
         from open3dsot_tpu.geometry import rigid
 
         wlh = jnp.asarray([[1.5, 3.0, 1.4]], np.float32)  # (w, l, h)

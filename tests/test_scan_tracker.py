@@ -179,3 +179,24 @@ class TestScanTracker:
         a = tr.evaluate_one_sequence(sampler[0], cfg)
         b = tr.evaluate_one_sequence(sampler[0], cfg)
         assert a[0] == b[0] and a[1] == b[1]
+
+
+class TestCountsEncoding:
+    def test_prefix_masks_roundtrip(self):
+        from open3dsot_tpu.tracking.scan_tracker import _counts
+
+        valid = np.zeros((3, 8), bool)
+        valid[0, :5] = True
+        valid[2, :8] = True
+        assert _counts(valid).tolist() == [5, 0, 8]
+
+    def test_non_prefix_mask_rejected(self):
+        """A hole in the mask would silently change the valid set after the
+        device-side iota re-expansion — must fail loudly instead."""
+        from open3dsot_tpu.tracking.scan_tracker import _counts
+
+        valid = np.zeros((2, 8), bool)
+        valid[0, :4] = True
+        valid[1, [0, 2]] = True  # hole at index 1
+        with pytest.raises(ValueError, match="prefix"):
+            _counts(valid)
