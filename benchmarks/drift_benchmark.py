@@ -1,19 +1,25 @@
-"""Host-vs-scan eval drift on a statistically meaningful benchmark.
+"""Host-vs-scan eval drift at a converged operating point, all 3 families.
 
-VERDICT r1 item 5: the scan tracker substitutes deterministic resampling for
-the reference's seeded np.random.choice; round 1 only measured the metric
-gap on a 4-tracklet fixture. This script:
+VERDICT r3 item 3: round-1/2 drift numbers came from a 40-epoch M2 model at
+Success ~= 11.7 (near-random boxes, so resampling-multiset differences barely
+matter) and covered only M2. This v2:
 
 1. builds a synthetic benchmark of >=64 tracklets x >=32 frames,
-2. trains M2-Track on the synthetic train split (real TPU, a few minutes),
+2. for each family (M2-Track, BAT, P2B) trains on the synthetic train split
+   using the REFERENCE-SCALE config (cfgs/M2_track_kitti.yaml /
+   cfgs/BAT_Car.yaml / cfgs/P2B_Car.yaml — so P2B runs camera mode with
+   limit_box=true, exercising the deterministic limit_box emulation the
+   scan path substitutes for host RNG, tracking/scan_matching.py) with
+   dataset=synthetic overrides, long enough to converge (in-training scan
+   validation logs the Success trajectory),
 3. evaluates the SAME trained weights through
    - the host fidelity path (seeded RNG resampling, per-frame loop),
-   - the scan path with resample mode 'first' (round-1 behavior),
-   - the scan path with resample mode 'strided' (evenly-spaced, default),
-4. writes DRIFT.md with |dSuccess| / |dPrecision| per mode.
+   - the scan path, resample mode 'strided' (default) and 'first',
+   - the scan path in bf16 (config.bf16),
+4. writes DRIFT.md incrementally (one section per family survives a crash).
 
-Usage: python benchmarks/drift_benchmark.py [--tracklets 64] [--frames 32]
-       [--epochs 40]
+Usage: python benchmarks/drift_benchmark.py [--families m2,bat,p2b]
+       [--tracklets 64] [--frames 32] [--epochs-m2 400] [--epochs-match 120]
 """
 
 from __future__ import annotations
@@ -28,98 +34,177 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DRIFT_MD = os.path.join(REPO, "DRIFT.md")
+
+# (yaml base, train overrides) per family. The yaml bases are the reference
+# configs, so eval-time keys (reference_BB, shape_aggregation, limit_box,
+# use_z, IoU_space, coordinate_mode, up_axis) are exactly the reference's.
+FAMILIES = {
+    "m2": dict(
+        yaml="M2_track_kitti.yaml",
+        overrides=dict(category_name="Car", batch_size=64),
+        val_every=25,
+    ),
+    "bat": dict(
+        yaml="BAT_Car.yaml",
+        overrides=dict(batch_size=32),
+        val_every=15,
+    ),
+    "p2b": dict(
+        yaml="P2B_Car.yaml",
+        overrides=dict(batch_size=32),
+        val_every=15,
+    ),
+}
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--tracklets", type=int, default=64)
-    ap.add_argument("--frames", type=int, default=32)
-    ap.add_argument("--epochs", type=int, default=40)
-    ap.add_argument("--batch", type=int, default=64)
-    args = ap.parse_args()
-
+def family_config(fam: str, args, epochs: int):
     from open3dsot_tpu.config import make_config
+
+    spec = FAMILIES[fam]
+    with open(os.path.join(REPO, "cfgs", spec["yaml"])) as f:
+        base = yaml.safe_load(f)
+    base.update(spec["overrides"])
+    base.update(
+        dataset="synthetic",
+        syn_num_tracklets=args.tracklets,
+        syn_tracklet_len=args.frames,
+        workers=0,
+        epoch=epochs,
+        lr_decay_step=max(epochs // 3, 1),
+        lr_decay_rate=0.2,
+        check_val_every_n_epoch=spec["val_every"],
+        val_tracker="scan",
+        device_sampler=True,
+        bf16=True,  # train fast; eval rows control bf16 per-path below
+        seed=3,
+        log_dir=f"/tmp/drift_run_{fam}",
+    )
+    return make_config(base)
+
+
+def drift_rows(model, variables, test_sampler, cfg, is_m2: bool):
+    """host + scan(strided/first) + bf16 scan rows for one trained model."""
+    from open3dsot_tpu.tracking.eval import evaluate_dataset
+    from open3dsot_tpu.tracking.scan_matching import evaluate_dataset_scan_matching
+    from open3dsot_tpu.tracking.scan_tracker import evaluate_dataset_scan
+
+    scan_fn = evaluate_dataset_scan if is_m2 else evaluate_dataset_scan_matching
+    rows = []
+
+    c = copy.deepcopy(cfg)
+    c.bf16 = False
+    t0 = time.time()
+    host_s, host_p = evaluate_dataset(model, variables, test_sampler, c)
+    rows.append(("host (seeded RNG, fidelity)", host_s, host_p,
+                 time.time() - t0, "-", "-"))
+    print(f"  host: S {host_s:.2f} P {host_p:.2f} ({rows[-1][3]:.0f}s)",
+          flush=True)
+
+    for label, bf16, mode in (
+        ("scan resample=strided (f32)", False, "strided"),
+        ("scan resample=first (f32)", False, "first"),
+        ("scan resample=strided (bf16)", True, "strided"),
+    ):
+        c = copy.deepcopy(cfg)
+        c.bf16 = bf16
+        c.scan_resample = mode
+        t0 = time.time()
+        s, p = scan_fn(model, variables, test_sampler, c, max_points=1024)
+        rows.append((label, s, p, time.time() - t0,
+                     f"{abs(s - host_s):.2f}", f"{abs(p - host_p):.2f}"))
+        print(f"  {label}: S {s:.2f} P {p:.2f} |dS| {abs(s - host_s):.2f} "
+              f"|dP| {abs(p - host_p):.2f} ({rows[-1][3]:.0f}s)", flush=True)
+    return rows
+
+
+def run_family(fam: str, args, sections: list):
     from open3dsot_tpu.data import get_dataset
     from open3dsot_tpu.models import get_model
-    from open3dsot_tpu.tracking.eval import evaluate_dataset
-    from open3dsot_tpu.tracking.scan_tracker import evaluate_dataset_scan
     from open3dsot_tpu.train.trainer import Trainer
 
-    cfg = make_config(
-        dict(
-            dataset="synthetic", net_model="m2track", category_name="Car",
-            bb_scale=1.25, bb_offset=2, point_sample_size=512, degrees=False,
-            up_axis=[0, 0, 1], train_type="train_motion", num_candidates=1,
-            motion_threshold=0.15, box_aware=True, use_z=True, limit_box=False,
-            IoU_space=3, center_weight=2.0, angle_weight=10.0, seg_weight=0.1,
-            bc_weight=1.0, motion_cls_seg_weight=0.1, lr=1e-3,
-            optimizer="Adam", lr_decay_step=max(args.epochs // 3, 1),
-            lr_decay_rate=0.2, wd=0.0, gradient_clip_val=1.0,
-            batch_size=args.batch, epoch=args.epochs, workers=0,
-            check_val_every_n_epoch=10**9,  # no mid-train validation
-            syn_num_tracklets=args.tracklets, syn_tracklet_len=args.frames,
-            seed=3, log_dir="/tmp/drift_run",
-        )
-    )
-    model = get_model("m2track")(cfg)
-    train_sampler = get_dataset(cfg, "train_motion", "train")
+    is_m2 = fam == "m2"
+    epochs = args.epochs_m2 if is_m2 else args.epochs_match
+    cfg = family_config(fam, args, epochs)
+    model = get_model(cfg.net_model)(cfg)
+    train_sampler = get_dataset(cfg, cfg.train_type, "train")
     test_sampler = get_dataset(cfg, "test", "test")
 
+    print(f"[{fam}] training {epochs} epochs "
+          f"({cfg.net_model}, {FAMILIES[fam]['yaml']} + synthetic)", flush=True)
     t0 = time.time()
-    trainer = Trainer(model, cfg, work_dir="/tmp/drift_run", log_every=50)
-    state = trainer.fit(train_sampler, None, epochs=args.epochs)
+    trainer = Trainer(model, cfg, work_dir=cfg.log_dir, log_every=100)
+    state = trainer.fit(train_sampler, test_sampler, epochs=epochs)
     variables = {"params": jax.device_get(state.params),
                  "batch_stats": jax.device_get(state.batch_stats)}
     train_s = time.time() - t0
-    print(f"trained {args.epochs} epochs in {train_s:.0f}s", flush=True)
+    traj = [(h["epoch"] + 1, h["success"], h["precision"])
+            for h in trainer.history if "success" in h]
+    print(f"[{fam}] trained in {train_s:.0f}s; val trajectory: "
+          + ", ".join(f"ep{e}: S {s:.1f}" for e, s, _ in traj), flush=True)
 
-    rows = []
-    t0 = time.time()
-    host_s, host_p = evaluate_dataset(model, variables, test_sampler, cfg)
-    host_t = time.time() - t0
-    rows.append(("host (seeded RNG, fidelity)", host_s, host_p, host_t, "-", "-"))
-    print(f"host: S {host_s:.2f} P {host_p:.2f} ({host_t:.0f}s)", flush=True)
+    rows = drift_rows(model, variables, test_sampler, cfg, is_m2)
 
-    for mode in ("first", "strided"):
-        c = copy.deepcopy(cfg)
-        c.scan_resample = mode
-        t0 = time.time()
-        s, p = evaluate_dataset_scan(model, variables, test_sampler, c,
-                                     max_points=1024)
-        dt = time.time() - t0
-        rows.append((f"scan resample={mode}", s, p, dt,
-                     f"{abs(s - host_s):.2f}", f"{abs(p - host_p):.2f}"))
-        print(f"scan[{mode}]: S {s:.2f} P {p:.2f} "
-              f"|dS| {abs(s-host_s):.2f} |dP| {abs(p-host_p):.2f} ({dt:.0f}s)",
-              flush=True)
-
-    frames_total = sum(len(test_sampler[i]) for i in range(len(test_sampler)))
-    out = [
-        "# Host-vs-scan eval drift (trained M2-Track, synthetic benchmark)",
-        "",
-        f"device: {jax.devices()[0].device_kind}; benchmark: "
-        f"{args.tracklets} tracklets x {args.frames} frames "
-        f"({frames_total} frames); trained {args.epochs} epochs "
-        f"({train_s:.0f}s) on the synthetic train split.",
+    name = {"m2": "M2-Track (M2_track_kitti base)",
+            "bat": "BAT (BAT_Car base)",
+            "p2b": "P2B (P2B_Car base: camera mode, limit_box=true)"}[fam]
+    out = [f"## {name}", ""]
+    if traj:
+        out.append("Convergence (in-training scan validation): "
+                   + ", ".join(f"ep{e} S={s:.1f}/P={p:.1f}"
+                               for e, s, p in traj))
+        out.append("")
+    out += [
+        f"Trained {epochs} epochs ({train_s:.0f}s, bf16 + device_sampler).",
         "",
         "| eval path | Success | Precision | wall s | abs dS vs host | abs dP vs host |",
         "|---|---|---|---|---|---|",
     ]
-    for name, s, p, dt, ds, dp in rows:
-        out.append(f"| {name} | {s:.2f} | {p:.2f} | {dt:.0f} | {ds} | {dp} |")
-    out += [
+    for label, s, p, dt, ds, dp in rows:
+        out.append(f"| {label} | {s:.2f} | {p:.2f} | {dt:.0f} | {ds} | {dp} |")
+    out.append("")
+    sections.append("\n".join(out))
+    write_md(args, sections)
+
+
+def write_md(args, sections):
+    hdr = [
+        "# Host-vs-scan eval drift v2 (converged models, all 3 families)",
         "",
-        "Drift source: the scan path replaces the host's seeded "
+        f"device: {jax.devices()[0].device_kind}; benchmark: {args.tracklets} "
+        f"tracklets x {args.frames} frames; reference-scale configs with "
+        "dataset=synthetic. Same trained weights through every eval path.",
+        "",
+        "Drift sources: (a) the scan path replaces the host's seeded "
         "`np.random.choice` resampling (points_utils.py:24-40, seed=1 at "
-        "eval) with deterministic selection; 'strided' picks evenly-spaced "
-        "cropped points (closest to a uniform subset), 'first' is the "
-        "round-1 prefix+cyclic fill. Exact RNG replication on device is not "
-        "feasible (PCG64 choice-without-replacement inside a scan).",
+        "eval) with deterministic selection — 'strided' picks evenly-spaced "
+        "cropped points, 'first' is prefix+cyclic fill; (b) for matching "
+        "trackers with limit_box=true (P2B row), the host's RNG offset "
+        "re-draw is replaced by the deterministic limit_box emulation "
+        "(tracking/scan_matching.py, rigid.limit_box_offset); (c) the bf16 "
+        "rows additionally quantize scan compute to bfloat16 (BN stats f32).",
+        "",
     ]
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                           "DRIFT.md"), "w") as fh:
-        fh.write("\n".join(out) + "\n")
-    print("wrote DRIFT.md")
+    with open(DRIFT_MD, "w") as fh:
+        fh.write("\n".join(hdr) + "\n" + "\n".join(sections))
+    print(f"wrote DRIFT.md ({len(sections)} section(s))", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--families", default="m2,bat,p2b")
+    ap.add_argument("--tracklets", type=int, default=64)
+    ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--epochs-m2", type=int, default=400)
+    ap.add_argument("--epochs-match", type=int, default=120)
+    args = ap.parse_args()
+
+    sections: list = []
+    for fam in args.families.split(","):
+        run_family(fam.strip(), args, sections)
 
 
 if __name__ == "__main__":

@@ -15,6 +15,12 @@ What ships here:
   source tree) and writes `nuscenes_splits_full.json` next to this module —
   one command, run once per checkout, no devkit needed afterwards.
 
+Every full-list resolution is structurally validated (published v1.0
+cardinalities 700/150/150/350/350, no duplicates, scene-NNNN names,
+disjoint train/val/test) so a corrupted vendored file fails loudly; a
+user-supplied splits.json skips only the cardinality check (custom subsets
+are legitimate there).
+
 Resolution order used by `get_split_scenes`:
 1. in-tree constants (mini splits, plus the full lists once
    `nuscenes_splits_full.json` exists);
@@ -55,10 +61,60 @@ def _vendored_splits() -> Dict[str, List[str]]:
     return splits
 
 
+# Structural invariants of the published v1.0 splits (nuscenes-devkit
+# splits.py): sizes, disjointness, scene-name shape. Validated on every
+# full-list resolution so a corrupted or hand-edited
+# nuscenes_splits_full.json / splits.json fails loudly instead of silently
+# skewing evaluation.
+_EXPECTED_SIZES = {
+    "train": 700, "val": 150, "test": 150,
+    "train_detect": 350, "train_track": 350,
+    "mini_train": 8, "mini_val": 2,
+}
+
+
+def _validate_full(splits: Dict[str, List[str]], source: str,
+                   check_sizes: bool = True) -> None:
+    """check_sizes=True for the in-tree nuscenes_splits_full.json (it claims
+    to be the published v1.0 constants); a user {dataroot}/splits.json may
+    legitimately carry custom subsets, so only the structural checks apply
+    there."""
+    import re
+
+    pat = re.compile(r"^scene-\d{4}$")
+    for name, scenes in splits.items():
+        want = _EXPECTED_SIZES.get(name) if check_sizes else None
+        if want is not None and len(scenes) != want:
+            raise ValueError(
+                f"nuScenes split {name!r} from {source} has {len(scenes)} "
+                f"scenes, expected {want} (published v1.0 constant)"
+            )
+        if len(set(scenes)) != len(scenes):
+            raise ValueError(f"nuScenes split {name!r} from {source} has "
+                             f"duplicate scene names")
+        bad = [s for s in scenes if not pat.match(s)]
+        if bad:
+            raise ValueError(
+                f"nuScenes split {name!r} from {source} has malformed scene "
+                f"names (e.g. {bad[0]!r}); expected 'scene-NNNN'"
+            )
+    for a, b in (("train", "val"), ("train", "test"), ("val", "test"),
+                 ("train_detect", "train_track")):
+        if a in splits and b in splits:
+            overlap = set(splits[a]) & set(splits[b])
+            if overlap:
+                raise ValueError(
+                    f"nuScenes splits {a!r} and {b!r} from {source} overlap "
+                    f"({sorted(overlap)[:3]}...)"
+                )
+
+
 def get_split_scenes(split: str, dataroot: Optional[str] = None) -> List[str]:
     """Scene names for a nuScenes split, devkit-free where possible."""
     vendored = _vendored_splits()
     if split in vendored:
+        if split not in ("mini_train", "mini_val"):
+            _validate_full(vendored, str(_FULL_JSON))
         return vendored[split]
     try:
         from nuscenes.utils.splits import create_splits_scenes  # type: ignore
@@ -72,6 +128,7 @@ def get_split_scenes(split: str, dataroot: Optional[str] = None) -> List[str]:
             with open(splits_path) as f:
                 table = json.load(f)
             if split in table:
+                _validate_full(table, splits_path, check_sizes=False)
                 return table[split]
     raise RuntimeError(
         f"nuScenes split {split!r} is not vendored in-tree (only the mini "

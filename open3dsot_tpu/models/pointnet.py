@@ -9,6 +9,10 @@ set-abstraction module (/root/reference/pointnet2/utils/pointnet2_modules.py):
   concatenated back per point, second MLP, logits head (pointnet.py:144-204).
 - `SetAbstraction` — centroid sampling (FPS or first-npoint), ball-query
   grouping, SharedMLP, max over the neighborhood (pointnet2_modules.py:24-149).
+- `SetAbstractionMSG` — the multi-scale-grouping generalization: shared
+  centroids, per-radius branches, feature-axis concat
+  (pointnet2_modules.py:82-118; never instantiated by the three trackers,
+  in the reference or here).
 - `PointnetBackbone` — 3 single-scale-grouping SA layers with radii
   0.3/0.5/0.7, nsample 32 (pointnet.py:12-88).
 - `FeaturePropagation` — 3-NN inverse-distance interpolation + MLP
@@ -227,6 +231,72 @@ class SetAbstraction(nn.Module):
         out = mlp_mod(grouped, train=train)  # (B, S, K, C')
         out = jnp.max(out, axis=2)  # max over neighborhood
         return new_xyz, out, sample_idxs
+
+
+class SetAbstractionMSG(nn.Module):
+    """Multi-scale-grouping SA layer (PointnetSAModuleMSG,
+    /root/reference/pointnet2/utils/pointnet2_modules.py:82-118).
+
+    One shared centroid set (FPS or first-npoint, exactly like the SSG
+    case); one (radius, nsample, mlp) branch per scale, each a ball-query
+    grouping + SharedMLP + neighborhood max; branch outputs concatenated
+    along the feature axis, so new_features is (B, S, sum(mlp[-1] per
+    branch)). Unused by the three shipped trackers (the reference also only
+    ever instantiates the single-scale subclass) — kept for layer-library
+    completeness, unfused path only.
+    """
+
+    mlps: Sequence[Sequence[int]]
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    use_xyz: bool = True
+    use_fps: bool = False
+    normalize_xyz: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jnp.ndarray,
+        features: Optional[jnp.ndarray],
+        npoint: int,
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """xyz (B, N, 3), features (B, N, C) or None -> (new_xyz (B, S, 3),
+        new_features (B, S, sum(mlp[-1])), sample_idxs (B, S))."""
+        assert len(self.mlps) == len(self.radii) == len(self.nsamples), (
+            "mlps / radii / nsamples must align (pointnet2_modules.py:104)"
+        )
+        B, N, _ = xyz.shape
+        if self.use_fps:
+            sample_idxs = furthest_point_sample(xyz, npoint)
+        else:
+            sample_idxs = jnp.broadcast_to(
+                jnp.arange(npoint, dtype=jnp.int32)[None, :], (B, npoint)
+            )
+        new_xyz = gather_points(xyz, sample_idxs)  # (B, S, 3)
+
+        outs = []
+        for i, (mlp, radius, nsample) in enumerate(
+            zip(self.mlps, self.radii, self.nsamples)
+        ):
+            idx = ball_query(radius, nsample, xyz, new_xyz)  # (B, S, K_i)
+            grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+            if self.normalize_xyz:
+                grouped_xyz = grouped_xyz / radius
+            if features is not None:
+                grouped_feats = group_points(features, idx)
+                if self.use_xyz:
+                    grouped = jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+                else:
+                    grouped = grouped_feats
+            else:
+                grouped = grouped_xyz
+            out = MLP(mlp, dtype=self.dtype, name=f"mlp_shared_{i}")(
+                grouped, train=train
+            )
+            outs.append(jnp.max(out, axis=2))  # (B, S, mlp[-1])
+        return new_xyz, jnp.concatenate(outs, axis=-1), sample_idxs
 
 
 class SetAbstractionAll(nn.Module):

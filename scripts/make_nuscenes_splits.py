@@ -59,6 +59,9 @@ def main() -> int:
                     help="path to a nuscenes-devkit checkout or splits.py "
                          "(default: import the installed devkit)")
     ap.add_argument("--out", default=OUT)
+    ap.add_argument("--force", action="store_true",
+                    help="write even if the extracted lists fail the v1.0 "
+                         "structural checks (sizes/disjointness)")
     args = ap.parse_args()
 
     mod = _load_splits_module(args.devkit)
@@ -69,14 +72,16 @@ def main() -> int:
                  if hasattr(mod, name)}
     out = {name: list(table[name]) for name in SPLIT_NAMES if name in table}
 
-    # sanity: v1.0 cardinalities
-    expect = {"train": 700, "val": 150, "test": 150,
-              "train_detect": 350, "train_track": 350,
-              "mini_train": 8, "mini_val": 2}
-    for name, n in expect.items():
-        if name in out and len(out[name]) != n:
-            print(f"WARNING: split {name} has {len(out[name])} scenes "
-                  f"(expected {n}) — devkit version mismatch?")
+    # same structural validation the loader applies at resolution time
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from open3dsot_tpu.data.nuscenes_splits import _validate_full
+
+    try:
+        _validate_full(out, args.devkit or "installed devkit")
+    except ValueError as e:
+        if not args.force:
+            raise SystemExit(f"refusing to write: {e} (use --force to override)")
+        print(f"WARNING (--force): {e}")
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=0)

@@ -156,6 +156,32 @@ class TestWaymo:
                           preloading=False, tiny=True, preload_offset=-1)
         assert ds.get_num_tracklets() <= 100
 
+    def test_offline_batch_cli(self, waymo_root):
+        """scripts/generate_waymo_sot.py: splits x classes batch driver
+        (reference datasets/generate_waymo_sot.py:56-62)."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "generate_waymo_sot_cli",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "scripts", "generate_waymo_sot.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main([waymo_root, "--splits", "train",
+                  "--classes", "vehicle,pedestrian"])
+        with open(os.path.join(waymo_root, "sot_infos_vehicle_train.pkl"),
+                  "rb") as f:
+            vehicle = pickle.load(f)
+        assert set(vehicle) == {"obj_a"} and len(vehicle["obj_a"]) == 3
+        # no pedestrian objects in the fixture -> empty dict, still written
+        with open(os.path.join(waymo_root, "sot_infos_pedestrian_train.pkl"),
+                  "rb") as f:
+            assert pickle.load(f) == {}
+        # a missing split fails loudly before writing anything
+        with pytest.raises(SystemExit):
+            mod.main([waymo_root, "--splits", "val"])
+
 
 # --------------------------------------------------------------------------
 # nuScenes fixture (minimal JSON tables)
@@ -269,19 +295,64 @@ class TestNuScenesSplits:
         assert "scene-0061" in mt and "scene-0103" in mv
         assert not set(mt) & set(mv)
 
+    @staticmethod
+    def _plausible_full_table():
+        """Synthetic table with the published v1.0 cardinalities
+        (700/150/150, train = train_detect + train_track)."""
+        names = [f"scene-{i:04d}" for i in range(1000)]
+        return {"train_detect": names[:350], "train_track": names[350:700],
+                "val": names[700:850], "test": names[850:1000]}
+
     def test_full_json_vendoring(self, tmp_path, monkeypatch):
         from open3dsot_tpu.data import nuscenes_splits as ns
 
+        table = self._plausible_full_table()
         full = tmp_path / "nuscenes_splits_full.json"
         with open(full, "w") as f:
-            json.dump({"train_detect": ["scene-0002"],
-                       "train_track": ["scene-0003"],
-                       "val": ["scene-0004"]}, f)
+            json.dump(table, f)
         monkeypatch.setattr(ns, "_FULL_JSON", str(full))
-        assert ns.get_split_scenes("val") == ["scene-0004"]
-        assert ns.get_split_scenes("train_track") == ["scene-0003"]
+        assert ns.get_split_scenes("val") == table["val"]
+        assert ns.get_split_scenes("train_track") == table["train_track"]
         # devkit semantics: train = train_detect + train_track
-        assert ns.get_split_scenes("train") == ["scene-0002", "scene-0003"]
+        assert ns.get_split_scenes("train") == (
+            table["train_detect"] + table["train_track"])
+
+    @pytest.mark.parametrize("corruption", ["size", "dup", "name", "overlap"])
+    def test_full_json_corruption_rejected(self, tmp_path, monkeypatch,
+                                           corruption):
+        """A corrupted vendored full-split file fails loudly instead of
+        silently skewing evaluation."""
+        from open3dsot_tpu.data import nuscenes_splits as ns
+
+        table = self._plausible_full_table()
+        if corruption == "size":
+            table["val"] = table["val"][:-1]  # 149 scenes
+        elif corruption == "dup":
+            table["val"][1] = table["val"][0]
+        elif corruption == "name":
+            table["val"][0] = "scene-12"  # malformed
+        elif corruption == "overlap":
+            table["test"][0] = table["val"][0]
+        full = tmp_path / "nuscenes_splits_full.json"
+        with open(full, "w") as f:
+            json.dump(table, f)
+        monkeypatch.setattr(ns, "_FULL_JSON", str(full))
+        with pytest.raises(ValueError):
+            ns.get_split_scenes("val")
+
+    def test_user_splits_json_allows_custom_sizes(self, tmp_path):
+        """{dataroot}/splits.json may carry custom subsets — structural
+        checks only, no cardinality enforcement."""
+        from open3dsot_tpu.data.nuscenes_splits import get_split_scenes
+
+        with open(tmp_path / "splits.json", "w") as f:
+            json.dump({"val": ["scene-0004", "scene-0007"]}, f)
+        assert get_split_scenes("val", dataroot=str(tmp_path)) == [
+            "scene-0004", "scene-0007"]
+        with open(tmp_path / "splits.json", "w") as f:
+            json.dump({"val": ["scene-0004", "scene-0004"]}, f)
+        with pytest.raises(ValueError):
+            get_split_scenes("val", dataroot=str(tmp_path))
 
     def test_unknown_split_raises_with_script_pointer(self):
         from open3dsot_tpu.data.nuscenes_splits import get_split_scenes

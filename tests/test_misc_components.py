@@ -26,6 +26,80 @@ class TestSetAbstractionAll:
         assert out.shape == (2, 1, 8)
 
 
+class TestSetAbstractionMSG:
+    """Golden: MSG == per-radius SSG branches (shared centroids) concatenated
+    along the feature axis (pointnet2_modules.py:64-80)."""
+
+    def test_matches_per_radius_ssg_concat(self):
+        import jax
+        import jax.numpy as jnp
+
+        from open3dsot_tpu.models.pointnet import SetAbstraction, SetAbstractionMSG
+
+        mlps = [[8, 8], [8, 16]]
+        radii = [0.4, 0.9]
+        nsamples = [4, 8]
+        rng = np.random.default_rng(1)
+        xyz = jnp.asarray(rng.normal(size=(2, 32, 3)), jnp.float32)
+        feats = jnp.asarray(rng.normal(size=(2, 32, 5)), jnp.float32)
+        npoint = 12
+
+        msg = SetAbstractionMSG(mlps=mlps, radii=radii, nsamples=nsamples,
+                                normalize_xyz=True)
+        variables = msg.init(jax.random.PRNGKey(0), xyz, feats, npoint)
+        new_xyz, out, idxs = msg.apply(variables, xyz, feats, npoint)
+        assert new_xyz.shape == (2, npoint, 3)
+        assert out.shape == (2, npoint, 8 + 16)
+        # first-npoint centroids, like the SSG case
+        np.testing.assert_array_equal(np.asarray(idxs[0]), np.arange(npoint))
+
+        parts = []
+        for i in range(len(radii)):
+            ssg = SetAbstraction(mlp=mlps[i], radius=radii[i],
+                                 nsample=nsamples[i], normalize_xyz=True)
+            branch_vars = {
+                "params": {"mlp_shared": variables["params"][f"mlp_shared_{i}"]},
+                "batch_stats": {
+                    "mlp_shared": variables["batch_stats"][f"mlp_shared_{i}"]
+                },
+            }
+            bxyz, bout, bidx = ssg.apply(branch_vars, xyz, feats, npoint)
+            np.testing.assert_allclose(np.asarray(bxyz), np.asarray(new_xyz),
+                                       atol=0)
+            np.testing.assert_array_equal(np.asarray(bidx), np.asarray(idxs))
+            parts.append(np.asarray(bout))
+        np.testing.assert_allclose(
+            np.concatenate(parts, axis=-1), np.asarray(out), atol=1e-6
+        )
+
+    def test_train_mode_batch_stats(self):
+        """Each branch keeps its own BN batch_stats and they update in train
+        mode (the reference's per-branch SharedMLPs own their BNs)."""
+        import jax
+        import jax.numpy as jnp
+
+        from open3dsot_tpu.models.pointnet import SetAbstractionMSG
+
+        msg = SetAbstractionMSG(mlps=[[4], [4]], radii=[0.5, 1.0],
+                                nsamples=[4, 4], use_fps=True)
+        rng = np.random.default_rng(2)
+        xyz = jnp.asarray(rng.normal(size=(1, 16, 3)), jnp.float32)
+        variables = msg.init(jax.random.PRNGKey(0), xyz, None, 8)
+        (_, out, _), updates = msg.apply(
+            variables, xyz, None, 8, True, mutable=["batch_stats"]
+        )
+        assert out.shape == (1, 8, 8)
+        for i in (0, 1):
+            before = variables["batch_stats"][f"mlp_shared_{i}"]
+            after = updates["batch_stats"][f"mlp_shared_{i}"]
+            flat_b = jax.tree_util.tree_leaves(before)
+            flat_a = jax.tree_util.tree_leaves(after)
+            assert any(
+                not np.allclose(np.asarray(b), np.asarray(a))
+                for b, a in zip(flat_b, flat_a)
+            )
+
+
 class TestVisualization:
     def box(self):
         return Box([1, 2, 0], [1.5, 3.5, 1.2], Quaternion(axis=[0, 0, 1], degrees=20))
