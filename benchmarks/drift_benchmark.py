@@ -86,8 +86,13 @@ def family_config(fam: str, args, epochs: int):
     return make_config(base)
 
 
-def drift_rows(model, variables, test_sampler, cfg, is_m2: bool):
-    """host + scan(strided/first) + bf16 scan rows for one trained model."""
+def drift_rows(variables, test_sampler, cfg, is_m2: bool):
+    """host + scan(strided/first) + bf16 scan rows for one set of trained
+    weights. The compute dtype is baked into the flax modules at
+    construction (models/matching_base.py::_compute_dtype), so each row
+    rebuilds the model from its own config — the weights themselves are
+    f32 either way (bf16 training keeps params/BN stats f32)."""
+    from open3dsot_tpu.models import get_model
     from open3dsot_tpu.tracking.eval import evaluate_dataset
     from open3dsot_tpu.tracking.scan_matching import evaluate_dataset_scan_matching
     from open3dsot_tpu.tracking.scan_tracker import evaluate_dataset_scan
@@ -98,7 +103,8 @@ def drift_rows(model, variables, test_sampler, cfg, is_m2: bool):
     c = copy.deepcopy(cfg)
     c.bf16 = False
     t0 = time.time()
-    host_s, host_p = evaluate_dataset(model, variables, test_sampler, c)
+    host_s, host_p = evaluate_dataset(
+        get_model(c.net_model)(c), variables, test_sampler, c)
     rows.append(("host (seeded RNG, fidelity)", host_s, host_p,
                  time.time() - t0, "-", "-"))
     print(f"  host: S {host_s:.2f} P {host_p:.2f} ({rows[-1][3]:.0f}s)",
@@ -113,7 +119,8 @@ def drift_rows(model, variables, test_sampler, cfg, is_m2: bool):
         c.bf16 = bf16
         c.scan_resample = mode
         t0 = time.time()
-        s, p = scan_fn(model, variables, test_sampler, c, max_points=1024)
+        s, p = scan_fn(get_model(c.net_model)(c), variables, test_sampler, c,
+                       max_points=1024)
         rows.append((label, s, p, time.time() - t0,
                      f"{abs(s - host_s):.2f}", f"{abs(p - host_p):.2f}"))
         print(f"  {label}: S {s:.2f} P {p:.2f} |dS| {abs(s - host_s):.2f} "
@@ -146,7 +153,7 @@ def run_family(fam: str, args, sections: list):
     print(f"[{fam}] trained in {train_s:.0f}s; val trajectory: "
           + ", ".join(f"ep{e}: S {s:.1f}" for e, s, _ in traj), flush=True)
 
-    rows = drift_rows(model, variables, test_sampler, cfg, is_m2)
+    rows = drift_rows(variables, test_sampler, cfg, is_m2)
 
     name = {"m2": "M2-Track (M2_track_kitti base)",
             "bat": "BAT (BAT_Car base)",

@@ -106,24 +106,33 @@ def _dot(a, b, cdt):
     )
 
 
-def _sa_kernel(K, cdt, idx_ref, a_ref, ct_ref, w2_ref, b2_ref, w3_ref,
+def _sa_kernel(K, cdt, od, idx_ref, a_ref, ct_ref, w2_ref, b2_ref, w3_ref,
                b3_ref, out_ref):
     """One (batch, centroid-tile) program.
 
     idx_ref (1, 1, Ts, K) i32 | a_ref (1, N, C1) | ct_ref (1, Ts, C1)
     w2 (C1, C2), b2 (1, C2), w3 (C2, C3), b3 (1, C3) | out_ref (1, Ts, C3).
+
+    od: operand dtype for the one-hot gather matmul. bf16 on TPU — the
+    one-hot side is 0/1 (exact in bf16) and the value side already goes
+    through the MXU as one bf16 pass under DEFAULT f32 dot precision, so
+    an explicit bf16 operand changes nothing numerically while halving the
+    VMEM held by the (Ts*K, N) one-hot and the (N, C1) A block. f32 in
+    CPU interpret mode, where dots are exact and the golden tests compare.
     """
     ts = idx_ref.shape[2]
     tsk = ts * K
     n, c1 = a_ref.shape[1], a_ref.shape[2]
     # one-hot built in (ts, K, n) then collapsed to (ts*K, n): lane dim (n)
     # stays put, so the shape cast is a pure sublane relayout Mosaic accepts
-    # (a (ts*K, 1) index vector is not — "unsupported shape cast")
+    # (a (ts*K, 1) index vector is not — "unsupported shape cast").
+    # The lane iota is kept (1, 1, n) and broadcast INTO the compare — a
+    # materialized (ts, K, n) iota costs a full extra VPU pass.
     idx3 = idx_ref[0, 0]  # (ts, K)
     onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, (ts, K, n), 2) == idx3[:, :, None]
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2) == idx3[:, :, None]
     ).reshape(tsk, n)
-    g = _dot(onehot.astype(cdt), a_ref[0].astype(cdt), cdt)  # (Ts*K, C1) f32
+    g = _dot(onehot.astype(od), a_ref[0].astype(od), cdt)  # (Ts*K, C1) f32
     h = g.reshape(ts, K, c1) + ct_ref[0][:, None, :]
     h = jnp.maximum(h, 0.0).reshape(tsk, c1).astype(cdt)
     h = jnp.maximum(_dot(h, w2_ref[:].astype(cdt), cdt) + b2_ref[:], 0.0)
@@ -132,20 +141,30 @@ def _sa_kernel(K, cdt, idx_ref, a_ref, ct_ref, w2_ref, b2_ref, w3_ref,
     out_ref[0] = jnp.max(h.reshape(ts, K, -1), axis=1).astype(out_ref.dtype)
 
 
-def _sa_bq_kernel(K, cdt, r2, xyzt_ref, ctr_ref, a_ref, ct_ref, w2_ref,
+def _sa_bq_kernel(K, cdt, od, r2, xyzt_ref, ctr_ref, a_ref, ct_ref, w2_ref,
                   b2_ref, w3_ref, b3_ref, out_ref):
     """SA kernel with the ball query fused in: the one-hot selection matrix
     is built directly from the in-kernel distance matrix via the
     cumulative-count order statistic (no ApproxTopK pass, no idx tensor).
 
     xyzt_ref (1, 3, N) | ctr_ref (1, Ts, 3) | a_ref (1, N, C1) |
-    ct_ref (1, Ts, C1) | weights/biases as in _sa_kernel.
+    ct_ref (1, Ts, C1) | weights/biases as in _sa_kernel; od as there.
 
     CUDA ball-query parity (pointnet2_utils.py:245-277): the k-th slot takes
     the (k+1)-th point with d^2 strictly < r^2 in ascending index order;
     slots past the in-ball count repeat the FIRST in-ball index. Every
     center is itself one of the points (d^2 = 0), so the no-neighbor case
     is unreachable in all call sites.
+
+    The pad-with-first semantics are applied AFTER the gather: the one-hot
+    holds only the real slots (rank == k+1 rows; overflow slots are
+    all-zero), and overflow rows of the gathered values are then replaced
+    by slot 0's row (slot 0 IS the first in-ball point). Identical result,
+    but the selection needs ONE (Ts, K, N) compare against a (Ts, N)
+    rank vector instead of the old five full-size passes (materialized
+    kp1 iota, two ==, one >, &, |) — this kernel is VPU-comparison-bound,
+    not MXU-bound (PROFILE_BAT_EVAL.md: search tower 0.87 ms vs ~0.28 ms
+    matmul bound).
     """
     ts = ctr_ref.shape[1]
     tsk = ts * K
@@ -162,15 +181,20 @@ def _sa_bq_kernel(K, cdt, r2, xyzt_ref, ctr_ref, a_ref, ct_ref, w2_ref,
         jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         <= jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     )
-    cum = _dot(valid.astype(cdt), tri.astype(cdt), cdt)  # (Ts, N) f32
+    cum = _dot(valid.astype(od), tri.astype(od), cdt)  # (Ts, N) f32
     count = cum[:, n - 1:n]  # (Ts, 1)
-    kp1 = (jax.lax.broadcasted_iota(jnp.int32, (ts, K, n), 1) + 1).astype(
-        jnp.float32)
-    sel = (cum[:, None, :] == kp1) | (
-        (kp1 > count[:, :, None]) & (cum[:, None, :] == 1.0))
-    onehot = (valid[:, None, :] & sel).reshape(tsk, n)
-    g = _dot(onehot.astype(cdt), a_ref[0].astype(cdt), cdt)  # (Ts*K, C1) f32
-    h = g.reshape(ts, K, c1) + ct_ref[0][:, None, :]
+    # rank[s, j] = cum (the 1-based valid ordinal) at valid points, else -1;
+    # slot k's one-hot row is exactly (rank == k+1)
+    rank = jnp.where(valid, cum, -1.0)  # (Ts, N)
+    kp1 = (jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1) + 1).astype(
+        jnp.float32)  # broadcast INTO the compare, never materialized full
+    onehot = (rank[:, None, :] == kp1).reshape(tsk, n)
+    g = _dot(onehot.astype(od), a_ref[0].astype(od), cdt)  # (Ts*K, C1) f32
+    g = g.reshape(ts, K, c1)
+    # overflow slots (k+1 > count) repeat slot 0 = the first in-ball point
+    slot_real = kp1[0, :, 0][None, :, None] <= count[:, :, None]  # (Ts, K, 1)
+    g = jnp.where(slot_real, g, g[:, 0:1, :])
+    h = g + ct_ref[0][:, None, :]
     h = jnp.maximum(h, 0.0).reshape(tsk, c1).astype(cdt)
     h = jnp.maximum(_dot(h, w2_ref[:].astype(cdt), cdt) + b2_ref[:], 0.0)
     h = jnp.maximum(_dot(h.astype(cdt), w3_ref[:].astype(cdt), cdt)
@@ -207,6 +231,13 @@ def fused_sa_apply(
     cdt = jnp.dtype(dtype) if dtype is not None else jnp.float32
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    # operand dtype for the combinatorial matmuls (one-hot gather, tri
+    # cumulative count): bf16 on TPU — 0/1 matrices are exact in bf16 and
+    # the value side already rides the MXU as one bf16 pass under DEFAULT
+    # f32 dot precision, so this is numerics-neutral while halving the
+    # VMEM/bandwidth of the largest in-kernel temporaries. f32 in interpret
+    # mode, where the golden tests expect exact dots.
+    od = jnp.float32 if interpret else jnp.bfloat16
     B, N, _ = xyz.shape
     if idx is None:
         assert nsample is not None, "nsample required when idx is None"
@@ -220,7 +251,8 @@ def fused_sa_apply(
 
     inv_r = (1.0 / radius) if normalize_xyz else 1.0
     a, ct = a_form(xyz, features, new_xyz, w1, b1, inv_r=inv_r,
-                   use_xyz=use_xyz)  # (B, N, C1) float32; cast in-kernel
+                   use_xyz=use_xyz)  # (B, N, C1) float32
+    a = a.astype(od)  # gather operand: halved VMEM block + HBM read on TPU
 
     ts = min(S, 64 if cdt != jnp.float32 else 32)
     s_pad = -(-S // ts) * ts
@@ -260,7 +292,7 @@ def fused_sa_apply(
             # per-shard lowering under GSPMD: B comes from the input shape
             B_l = xyzt.shape[0]
             return pl.pallas_call(
-                lambda *refs: _sa_bq_kernel(K, cdt, radius * radius, *refs),
+                lambda *refs: _sa_bq_kernel(K, cdt, od, radius * radius, *refs),
                 out_shape=jax.ShapeDtypeStruct((B_l, s_pad, c3), cdt),
                 grid=(B_l, n_tiles),
                 in_specs=[
@@ -290,7 +322,7 @@ def fused_sa_apply(
     def idx_call(idx_flat, a, ct, w2, b2, w3, b3):
         B_l = idx_flat.shape[0]
         return pl.pallas_call(
-            lambda *refs: _sa_kernel(K, cdt, *refs),
+            lambda *refs: _sa_kernel(K, cdt, od, *refs),
             out_shape=jax.ShapeDtypeStruct((B_l, s_pad, c3), cdt),
             grid=(B_l, n_tiles),
             in_specs=[
