@@ -228,8 +228,14 @@ def main():
         )
         t = chain_timed(step, (state, batch), iters=50)
         try:
-            fl = float(step.lower(state, batch).compile().cost_analysis()["flops"])
-            tflops = f", {fl / t / 1e12:.1f} TFLOP/s"
+            from open3dsot_tpu.ops.flops import record_pallas_flops
+
+            with record_pallas_flops() as rec:
+                lowered = step.lower(state, batch)
+            fl = float(lowered.compile().cost_analysis()["flops"])
+            fl += rec["flops"]  # Pallas custom calls: closed-form dot count
+            tag = " (incl. Pallas)" if rec["calls"] else ""
+            tflops = f", {fl / t / 1e12:.1f} TFLOP/s{tag}"
         except Exception:
             tflops = ""
         rows.append((name, f"{t * 1e3:.1f} ms ({cfg.batch_size / t:.0f} samples/s{tflops})"))
@@ -327,8 +333,9 @@ def main():
         "~57 FPS single-stream (BAT/M2-Track papers, SURVEY §6). All timings "
         "fenced (np.asarray on outputs or in-graph chained loops with scalar "
         "fetch); v5e bf16 peak is ~197 TFLOP/s. TFLOP/s columns come from "
-        "XLA cost analysis, which counts Pallas custom calls as zero FLOPs "
-        "— rows using the fused kernels understate their real TFLOP/s.",
+        "XLA cost analysis PLUS closed-form dot counts for the Pallas "
+        "custom calls (ops/flops.py; XLA reports those as zero) — rows "
+        "tagged '(incl. Pallas)' are trustworthy for MFU.",
         "",
         "**Dispatch model.** Every eval/FPS row in THIS table issues ONE "
         "dispatch at a time and fences it (`np.asarray` on the output "

@@ -275,7 +275,14 @@ def fused_sa_apply(
     out_spec = pl.BlockSpec((1, ts, c3), lambda b, s: (b, s, 0),
                             memory_space=pltpu.VMEM)
 
+    from open3dsot_tpu.ops.flops import add_pallas_flops, sa_eval_flops
     from open3dsot_tpu.ops.partition import batch_partitioned
+
+    if not interpret:
+        # closed-form dot count for MFU accounting (XLA reports custom
+        # calls as zero FLOPs); interpret mode lowers to jnp ops XLA counts
+        add_pallas_flops(sa_eval_flops(
+            B, s_pad, K, N, c1, w2.shape[1], c3, fused_bq=idx is None))
 
     if idx is None:
         # ball query fused into the kernel: ship transposed coordinates

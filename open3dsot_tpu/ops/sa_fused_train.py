@@ -560,6 +560,9 @@ def _pallas_fwd(cfg, a, ct, w2, b2, w3, b3, g1, bt1, g2, bt2, g3, bt3, idx):
     # makes sharded batch statistics EXACTLY the global-batch ones.
     M = float(cfg.B * S * K)
     interp = cfg.interpret
+    if not interp:
+        from open3dsot_tpu.ops.flops import add_pallas_flops, sa_train_fwd_flops
+        add_pallas_flops(sa_train_fwd_flops(cfg.B, S, K, cfg.N, c1, c2, c3))
     b2r, b3r = b2[None, :], b3[None, :]
 
     def f1(idx_flat, a, ct):
@@ -648,6 +651,9 @@ def _pallas_bwd(cfg, a, ct, w2, b2, w3, b3, g1, bt1, g2, bt2, g3, bt3, idx,
     c1, c2, c3 = cfg.C1, cfg.C2, cfg.C3
     M = float(cfg.B * S * K)  # global count; see _pallas_fwd
     interp = cfg.interpret
+    if not interp:
+        from open3dsot_tpu.ops.flops import add_pallas_flops, sa_train_bwd_flops
+        add_pallas_flops(sa_train_bwd_flops(cfg.B, S, K, N, c1, c2, c3))
     y1, h1, h2 = grids
     mu1, v1, mu2, v2, mu3, v3 = stats
     s3 = g3 * jax.lax.rsqrt(v3 + _BN_EPS)
