@@ -64,6 +64,11 @@ def parse_args():
                         help="write per-tracklet predicted trajectories + "
                              "per-frame IoU/distance to this JSONL path "
                              "(tracking/results.py)")
+    parser.add_argument("--eval_prep_cache", type=str, default=None,
+                        help="directory for a disk-backed packed eval prep "
+                             "cache (tracking/prep_store.py): with --tracker "
+                             "scan, repeated evaluations skip dataset decode "
+                             "and padding entirely (fingerprint-validated)")
     parser.add_argument("--transfer_quant", type=str, default=None,
                         choices=["int16"],
                         help="ship frame points host->device as fixed-point "
@@ -82,7 +87,7 @@ def main():
         k: v
         for k, v in vars(args).items()
         if k not in ("cfg", "test", "checkpoint", "max_tracklets",
-                     "num_devices", "save_results")
+                     "num_devices", "save_results", "eval_prep_cache")
         and v is not None
     }
     # reference semantics: these argparse values override YAML even at their
@@ -131,6 +136,7 @@ def main():
                     max_tracklets=args.max_tracklets,
                     device_metrics=not args.host_metrics,
                     shard_across_processes=jax.process_count() > 1,
+                    prep_store_path=args.eval_prep_cache,
                     results_writer=writer,
                 )
             else:
@@ -143,6 +149,7 @@ def main():
                     max_tracklets=args.max_tracklets,
                     device_metrics=not args.host_metrics,
                     shard_across_processes=jax.process_count() > 1,
+                    prep_store_path=args.eval_prep_cache,
                     results_writer=writer,
                 )
         else:

@@ -512,6 +512,7 @@ def evaluate_dataset_scan_matching(model, variables, test_sampler, config,
                                    pipeline_depth: int = 3,
                                    shard_across_processes: bool = False,
                                    prep_cache: Optional[dict] = None,
+                                   prep_store_path: Optional[str] = None,
                                    results_writer=None):
     """Batched scan eval over a whole dataset; returns (success, precision).
 
@@ -557,6 +558,15 @@ def evaluate_dataset_scan_matching(model, variables, test_sampler, config,
         return _scan_eval_with_writer(
             tracker, test_sampler, config, n, batch_tracklets,
             shard_across_processes, results_writer, success, precision)
+    if prep_cache is None and prep_store_path is not None:
+        from open3dsot_tpu.tracking.prep_store import eval_store
+
+        prep_cache = eval_store(prep_store_path, config, tracker, n,
+                                batch_tracklets, shard_across_processes)
+    if not device_metrics and getattr(prep_cache, "stub_sequences", False):
+        # host-scored paths need real frames; a warm PackedPrepStore only
+        # has length stubs — ignore it rather than crash on stub access
+        prep_cache = None
     if prep_cache is not None and "batches" in prep_cache:
         batches = prep_cache["batches"]
     else:

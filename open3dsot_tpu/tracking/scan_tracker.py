@@ -534,6 +534,7 @@ def evaluate_dataset_scan(model, variables, test_sampler, config,
                           pipeline_depth: int = 3,
                           shard_across_processes: bool = False,
                           prep_cache: Optional[dict] = None,
+                          prep_store_path: Optional[str] = None,
                           results_writer=None):
     """Scan-tracker dataset evaluation; returns (success, precision).
 
@@ -555,6 +556,11 @@ def evaluate_dataset_scan(model, variables, test_sampler, config,
     count-vectors are summed at the end (the reference's Lightning DDP
     test sharding, /root/reference/main.py:89-93, at O(22 floats) of
     communication).
+
+    prep_store_path: optional directory for a DISK-backed packed prep cache
+    (tracking/prep_store.py): later evals — any process — skip dataset
+    decode AND padding entirely; fingerprint-validated against the config/
+    tracker/batching. Ignored when prep_cache is given.
 
     prep_cache: optional dict (pass the SAME dict with the same sampler and
     arguments each call); caches the tracklet batching and the padded host
@@ -579,6 +585,15 @@ def evaluate_dataset_scan(model, variables, test_sampler, config,
         return _scan_eval_with_writer(
             tracker, test_sampler, config, n, batch_tracklets,
             shard_across_processes, results_writer, success, precision)
+    if prep_cache is None and prep_store_path is not None:
+        from open3dsot_tpu.tracking.prep_store import eval_store
+
+        prep_cache = eval_store(prep_store_path, config, tracker, n,
+                                batch_tracklets, shard_across_processes)
+    if not device_metrics and getattr(prep_cache, "stub_sequences", False):
+        # host-scored paths need real frames; a warm PackedPrepStore only
+        # has length stubs — ignore it rather than crash on stub access
+        prep_cache = None
     if prep_cache is not None and "batches" in prep_cache:
         batches = prep_cache["batches"]
     else:
