@@ -194,73 +194,77 @@ def main():
     # step is gather/bandwidth-bound, not MXU-bound, so compute stays f32)
     batched16 = bench_case(slice(0, B), passes=5)
 
-    # --- BAT fused matching-tracker scan row (regression guard for the
-    # fused SA kernels + matching scan path; same overlapped-dispatch
-    # methodology as the M2 rows) ---
-    bat_fps = None
-    try:
+    # --- matching-tracker scan rows (BAT fused + P2B): regression guards
+    # for the fused SA kernels + matching scan path; same overlapped-dispatch
+    # methodology as the M2 rows ---
+    def matching_scan_fps(net_model: str, box_aware: bool, NB: int):
+        from open3dsot_tpu.geometry import points_utils as _pu
         from open3dsot_tpu.tracking.scan_matching import MatchScanTracker
+        from open3dsot_tpu.tracking.scan_tracker import _counts as _cn
 
-        bat_cfg = make_config(dict(
-            dataset="synthetic", net_model="bat", category_name="Car",
+        mcfg = make_config(dict(
+            dataset="synthetic", net_model=net_model, category_name="Car",
             template_size=512, search_size=1024, point_sample_size=1024,
             feature_channel=256, hidden_channel=256, out_channel=256,
             vote_channel=256, num_proposal=64, k=4, bc_channel=9,
-            box_aware=True, use_fps=True, normalize_xyz=False, degrees=True,
-            use_z=False, limit_box=False, IoU_space=3,
+            box_aware=box_aware, use_fps=True, normalize_xyz=False,
+            degrees=True, use_z=False, limit_box=False, IoU_space=3,
             model_bb_scale=1.25, model_bb_offset=0.0,
             search_bb_scale=1.25, search_bb_offset=2.0,
             shape_aggregation="firstandprevious",
             reference_BB="previous_result",
             bb_scale=1.25, bb_offset=2.0,
             train_type="train_siamese",
-            syn_num_tracklets=8, syn_tracklet_len=64, seed=7,
+            syn_num_tracklets=NB, syn_tracklet_len=64, seed=7,
         ))
-        bat = get_model("bat")(bat_cfg)
-        bat_vars = init_variables(bat, jax.random.PRNGKey(0))
-        bat_tracker = MatchScanTracker(bat, bat_vars, bat_cfg,
-                                       max_points=1024, frame_bucket=64)
-        NB = 8  # regression-guard row stays at 8 tracklets (BAT scan
-        # scaling is ~flat: 5.36k/5.59k/5.69k f/s at 8/16/32 — compute-bound)
-        bat_seqs = [test_sampler[i] for i in range(NB)]
+        net = get_model(net_model)(mcfg)
+        net_vars = init_variables(net, jax.random.PRNGKey(0))
+        trk = MatchScanTracker(net, net_vars, mcfg,
+                               max_points=1024, frame_bucket=64)
+        seqs = [test_sampler[i] for i in range(NB)]
         # pad once on the host, then issue overlapped async _track dispatches
         # (track_batch fetches synchronously — that would measure the tunnel)
-        from open3dsot_tpu.geometry import points_utils as _pu
-
-        T_bat = max(bat_tracker._bucket_len(len(s)) for s in bat_seqs)
-        P, P1 = bat_tracker.max_points, bat_tracker.first_crop_points
-        bpts = np.zeros((NB, T_bat, P, 3), np.float32)
-        bval = np.zeros((NB, T_bat, P), bool)
+        T_m = max(trk._bucket_len(len(s)) for s in seqs)
+        P, P1 = trk.max_points, trk.first_crop_points
+        bpts = np.zeros((NB, T_m, P, 3), np.float32)
+        bval = np.zeros((NB, T_m, P), bool)
         bfirst = np.zeros((NB, P1, 3), np.float32)
         bfv = np.zeros((NB, P1), bool)
         bwlh = np.zeros((NB, 3), np.float32)
         binit = np.zeros((NB, 4), np.float32)
-        for b, seq in enumerate(bat_seqs):
+        for b, seq in enumerate(seqs):
             fb = seq[0]["3d_bbox"]
             bwlh[b] = fb.wlh
             binit[b] = np.append(
                 fb.center, fb.orientation.radians * fb.orientation.axis[-1])
             crop, _ = _pu.cropAndCenterPC(
-                seq[0]["pc"], fb, scale=bat_cfg.model_bb_scale,
-                offset=bat_cfg.model_bb_offset)
+                seq[0]["pc"], fb, scale=mcfg.model_bb_scale,
+                offset=mcfg.model_bb_offset)
             fp = crop.points.T.astype(np.float32)[:P1]
             bfirst[b, : len(fp)] = fp
             bfv[b, : len(fp)] = True
             for t, frame in enumerate(seq):
-                p = frame["pc"].points.T.astype(np.float32)[:P]
-                bpts[b, t, : len(p)] = p
-                bval[b, t, : len(p)] = True
-        from open3dsot_tpu.tracking.scan_tracker import _counts as _cn
+                pp = frame["pc"].points.T.astype(np.float32)[:P]
+                bpts[b, t, : len(pp)] = pp
+                bval[b, t, : len(pp)] = True
+        margs = (trk.variables, jnp.asarray(bpts), jnp.asarray(_cn(bval)),
+                 jnp.asarray(bwlh), jnp.asarray(binit), jnp.asarray(bfirst),
+                 jnp.asarray(_cn(bfv)))
+        frames = sum(len(s) - 1 for s in seqs)
+        fps, _ = _timed_fps(trk._track, margs, frames, passes=5)
+        return fps
 
-        bat_args = (bat_tracker.variables, jnp.asarray(bpts),
-                    jnp.asarray(_cn(bval)), jnp.asarray(bwlh),
-                    jnp.asarray(binit), jnp.asarray(bfirst),
-                    jnp.asarray(_cn(bfv)))
-        bat_frames = sum(len(s) - 1 for s in bat_seqs)
-        bat_fps, _ = _timed_fps(bat_tracker._track, bat_args, bat_frames,
-                                passes=5)
-    except Exception as e:  # never fail the headline on the extra row
+    # both rows stay at 8 tracklets (matching scan scaling is ~flat:
+    # 5.36k/5.59k/5.69k f/s at 8/16/32 BAT — compute-bound per frame)
+    bat_fps = p2b_fps = None
+    try:
+        bat_fps = matching_scan_fps("bat", True, 8)
+    except Exception as e:  # never fail the headline on the extra rows
         print(f"bat row skipped: {type(e).__name__}: {e}", file=sys.stderr)
+    try:
+        p2b_fps = matching_scan_fps("p2b", False, 8)
+    except Exception as e:
+        print(f"p2b row skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
     # physical sanity gate: refuse to print impossible numbers
     for name, case in (("single_stream", single), ("batched", batched),
@@ -290,6 +294,8 @@ def main():
                 "batched_mfu": round(batched16["mfu"], 4) if batched16["mfu"] is not None else None,
                 "bat_fused_scan_fps_8_tracklets": (
                     round(bat_fps, 2) if bat_fps is not None else None),
+                "p2b_scan_fps_8_tracklets": (
+                    round(p2b_fps, 2) if p2b_fps is not None else None),
                 # all FPS fields here use OVERLAPPED dispatch (passes issued
                 # back-to-back; the ~30 ms tunnel latency is pipelined away).
                 # benchmarks/run_all.py measures the same pipelines with ONE
