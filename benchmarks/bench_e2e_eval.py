@@ -95,20 +95,35 @@ def run_case(case):
     # (device_metrics, transfer_dtype): the pipelined path is H2D-bound on
     # this tunnel, so the int16 variant (halved point bytes, in-jit
     # dequant) isolates the transfer cost
+    import shutil
+    import tempfile
+
+    from open3dsot_tpu.tracking.prep_store import eval_store
+
+    int16_tracker = make_tracker(transfer_dtype="int16")
+    store_dir = tempfile.mkdtemp(prefix=f"prep_store_{name}_")
     variants = [
-        (True, exact_tracker, "device-scored, pipelined"),
-        (True, make_tracker(transfer_dtype="int16"),
+        (True, exact_tracker, None, "device-scored, pipelined"),
+        (True, int16_tracker, None,
          "device-scored, pipelined, int16 transfer"),
-        (False, exact_tracker, "host-scored, serial"),
+        (True, int16_tracker,
+         lambda: eval_store(store_dir, cfg, int16_tracker, len(sampler), bt),
+         "device-scored, pipelined, int16 + warm prep store"),
+        (False, exact_tracker, None, "host-scored, serial"),
     ]
-    for device_metrics, tr, label in variants:
-        # warm (compile) pass, then 2 timed passes
+    for device_metrics, tr, store_factory, label in variants:
+        # warm (compile; also fills the prep store) pass, then 2 timed passes
         kw = dict(batch_tracklets=bt, tracker=tr,
-                  device_metrics=device_metrics)
+                  device_metrics=device_metrics,
+                  prep_cache=store_factory() if store_factory else None)
         eval_fn(model, variables, sampler, cfg, **kw)
         t0 = time.perf_counter()
         reps = 2
         for _ in range(reps):
+            if store_factory is not None:
+                # fresh store object per pass: timed passes take the DISK
+                # path (npz reads), not a warm object's in-memory layer
+                kw["prep_cache"] = store_factory()
             succ, prec = eval_fn(model, variables, sampler, cfg, **kw)
         dt = (time.perf_counter() - t0) / reps
         fps = n_frames / dt
@@ -116,6 +131,7 @@ def run_case(case):
         print(f"{name:8s} {label:38s} {n_frames} frames in {dt:6.2f} s "
               f"= {fps:8.1f} frames/s  (S {succ:.2f} / P {prec:.2f})",
               flush=True)
+    shutil.rmtree(store_dir, ignore_errors=True)
     return rows
 
 
@@ -141,7 +157,9 @@ def main():
         "encoder cost 57 ms/batch of host time and made int16 a net LOSS "
         "on M2, whose host side is the critical path on this 1-core "
         "machine). Locally attached TPUs would go substantially faster "
-        "still. The serial rows additionally pay the host polygon clip "
+        "still. The 'warm prep store' rows serve the packed int16 arrays "
+        "from the disk cache (tracking/prep_store.py) — zero dataset "
+        "decode and zero padding on the host.  The serial rows additionally pay the host polygon clip "
         "per frame and a full pipeline drain per batch.",
         "",
         "| model | eval loop | frames | s/pass | frames/s |",
