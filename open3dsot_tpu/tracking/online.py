@@ -25,7 +25,7 @@ once. This module provides that surface, TPU-style:
 Matching models online are restricted to reference_BB='previous_result'
 (the gt modes need per-frame ground truth, which does not exist at serving
 time); all four shape_aggregation template modes run on device ('all'
-keeps its per-slot template ring pool as device state).
+keeps its per-slot template key reservoir as device state).
 """
 
 from __future__ import annotations
@@ -258,12 +258,15 @@ class OnlineMatchTracker(_OnlineBase):
             "wlh": np.ones((B, 3), np.float32),
         }
         if pooled:
-            # 'all' carries the per-slot template ring pool (+ scratch tail,
-            # see scan_matching.make_match_step) as device-resident state
+            # 'all' carries the per-slot template key reservoir (see
+            # scan_matching.make_match_step) as device-resident state;
+            # key -inf marks an empty slot, 'age' is the per-slot step
+            # count the priority keys derive from (so a slot's pool
+            # depends only on its own history: online == offline)
             C = int(getattr(config, "template_pool", template_pool))
-            state["pool_pts"] = np.zeros((B, C + P, 3), np.float32)
-            state["pool_ok"] = np.zeros((B, C + P), bool)
-            state["cursor"] = np.zeros((B,), np.int32)
+            state["pool_pts"] = np.zeros((B, C, 3), np.float32)
+            state["pool_key"] = np.full((B, C), -np.inf, np.float32)
+            state["age"] = np.zeros((B,), np.int32)
         self._state = self._place(state)
 
         @jax.jit
@@ -271,8 +274,8 @@ class OnlineMatchTracker(_OnlineBase):
             xs = (state["prev_pts"], state["prev_valid"], new_pts, new_valid)
             carry = (state["ref"], state["wlh"])
             if pooled:
-                carry = carry + (state["pool_pts"], state["pool_ok"],
-                                 state["cursor"])
+                carry = carry + (state["pool_pts"], state["pool_key"],
+                                 state["age"])
             new_carry, _ = step(
                 variables, state["wlh"], state["first_pts"],
                 state["first_valid"], carry, xs
@@ -281,8 +284,8 @@ class OnlineMatchTracker(_OnlineBase):
             new_state = dict(state, ref=new_ref, wlh=new_wlh,
                              prev_pts=new_pts, prev_valid=new_valid)
             if pooled:
-                new_state.update(pool_pts=new_carry[2], pool_ok=new_carry[3],
-                                 cursor=new_carry[4])
+                new_state.update(pool_pts=new_carry[2], pool_key=new_carry[3],
+                                 age=new_carry[4])
             return new_state, new_ref
 
         @jax.jit
@@ -297,10 +300,10 @@ class OnlineMatchTracker(_OnlineBase):
                 wlh=state["wlh"].at[slot].set(wlh),
             )
             if pooled:
-                # a fresh stream starts with an EMPTY pool
+                # a fresh stream starts with an EMPTY reservoir (keys -inf)
                 new.update(
-                    pool_ok=state["pool_ok"].at[slot].set(False),
-                    cursor=state["cursor"].at[slot].set(0),
+                    pool_key=state["pool_key"].at[slot].set(-jnp.inf),
+                    age=state["age"].at[slot].set(0),
                 )
             return new
 

@@ -7,9 +7,11 @@ on device in one `lax.scan`. Supported modes:
 - shape_aggregation 'firstandprevious' (shipped configs), 'first',
   'previous', and 'all' run on device. 'all' (the reference's unboundedly
   growing template merge, base_model.py:190-194) carries a fixed-capacity
-  ring pool of every previous frame's crop through the scan; pool overflow
-  overwrites the OLDEST points (documented deviation — the host tracker
-  remains the exact-semantics path). Note the reference's 'previous' branch
+  key RESERVOIR of every previous frame's crop through the scan: under
+  capacity the pool is the exact merged cloud; on overflow an
+  exactly-uniform subsample of all points seen — the distribution the
+  reference resamples its unbounded merge from (the host tracker remains
+  the exact-semantics path). Note the reference's 'previous' branch
   is dead code (the `hape_aggregation` typo at base_model.py:186 raises
   AttributeError); we implement the evident intent, matching our host path.
 - reference_BB 'previous_result' (shipped configs), 'previous_gt', and
@@ -72,9 +74,10 @@ def parse_agg_mode(shape_aggregation: str) -> str:
     """Parse shape_aggregation with the reference's substring precedence
     (base_model.py:177-194): firstandprevious > first > previous > all.
     'all' merges every previous frame's template crop; on device it runs
-    over a fixed-capacity ring pool carried through the scan (see
-    make_match_step) — capacity overflow overwrites the OLDEST points, a
-    documented deviation from the reference's unbounded host merge."""
+    over a fixed-capacity key reservoir carried through the scan (see
+    make_match_step) — under capacity the pool is the exact merged cloud,
+    on overflow an exactly-uniform subsample of it (the distribution the
+    reference's unbounded host merge is resampled from)."""
     agg = shape_aggregation.upper()
     if "FIRSTANDPREVIOUS" in agg:
         return "firstandprevious"
@@ -98,8 +101,9 @@ def make_match_step(model, config, A, is_bat, agg_mode, gt_mode):
 
     Returns step(variables, wlh, first_pts, first_valid, carry, xs) with
     carry = (ref_box (B, 4), ref_wlh (B, 3)) — plus, when agg_mode='all',
-    (pool_pts (B, C+P, 3), pool_ok (B, C+P), cursor (B,)): the ring pool of
-    all previous template crops with its scratch tail and write cursor.
+    (pool_pts (B, C, 3), pool_key (B, C) f32, age (B,) int32): the key
+    reservoir of all previous template crops (priority keys descending,
+    -inf = empty slot) and each row's step count.
     ref_box/ref_wlh are the results_bbs chain's box
     AND its dimensions, because getOffsetBB copies the anchor's wlh onto
     each prediction (points_utils.py:43-85): under previous_result the
@@ -118,6 +122,10 @@ def make_match_step(model, config, A, is_bat, agg_mode, gt_mode):
     t_size = int(config.template_size)
     s_size = int(config.search_size)
     resample = getattr(config, "scan_resample", "strided")
+    # 'all'-mode reservoir priorities: a fixed base key (echoing the
+    # reference's seeded eval resampling, base_model.py:228-231 seed=1)
+    # folded with each slot's step count — deterministic across runs
+    pool_base_key = jax.random.PRNGKey(1) if agg_mode == "all" else None
     degrees = bool(config.degrees)
     use_z = bool(config.use_z)
     limit_box = bool(getattr(config, "limit_box", False))
@@ -133,12 +141,11 @@ def make_match_step(model, config, A, is_bat, agg_mode, gt_mode):
         # results_bbs[t-1]: the prediction chain's box and its wlh (equal to
         # the first box's under previous_result; the previous gt anchor's
         # under the gt modes). Under agg_mode='all' the carry additionally
-        # holds the template point POOL: a fixed-capacity ring of every
-        # previous frame's template crop (canonical), plus a scratch tail of
-        # max_points rows where each step's invalid rows land so a single
-        # scatter appends a frame without clobbering pooled points.
+        # holds the template point RESERVOIR: a fixed-capacity uniform
+        # sample of every previous frame's template crop (canonical), kept
+        # as (points, priority keys, per-row step count).
         if agg_mode == "all":
-            ref_box, carry_wlh, pool_pts, pool_ok, cursor = carry
+            ref_box, carry_wlh, pool_pts, pool_key, age = carry
         else:
             ref_box, carry_wlh = carry
         prev_pts, prev_valid, this_pts, this_valid = xs[:4]
@@ -163,24 +170,33 @@ def make_match_step(model, config, A, is_bat, agg_mode, gt_mode):
             elif agg_mode == "all":
                 # reference 'all' (base_model.py:190-194): the template for
                 # frame t merges the crops of frames 0..t-1, each canonical
-                # to its own result box — exactly the prev crops this scan
-                # has computed so far. Append frame t-1's crop to the ring
-                # pool (valid rows take consecutive ring slots; invalid rows
-                # are routed to the scratch tail [C:C+P) so one scatter
-                # never clobbers pooled points), then sample the pool.
+                # to its own result box — an unboundedly growing cloud the
+                # reference resamples to template_size uniformly each frame.
+                # Static shapes forbid the unbounded merge, so the carry
+                # holds a KEY RESERVOIR (bottom-k sketch): every crop point
+                # draws an iid uniform priority key and the pool keeps the
+                # top-C keys. While the stream fits (N <= C) the pool IS the
+                # exact merged cloud; on overflow it is an exactly-uniform
+                # C-subset of all N points seen — the same marginal the
+                # reference's uniform resample draws from (a drop-oldest
+                # ring would bias toward recent frames). Keys derive from
+                # fold_in(key, per-row age), so a slot's pool depends only
+                # on its own step count: online == offline stays exact even
+                # with staggered stream starts.
                 P = prev_pts.shape[1]
-                C = pool_pts.shape[1] - P
-                nval = jnp.cumsum(prev_ok.astype(jnp.int32), axis=1)
-                slot = jnp.where(
-                    prev_ok,
-                    (cursor[:, None] + nval - 1) % C,
-                    C + jnp.arange(P, dtype=jnp.int32)[None],
-                )
-                bidx = jnp.arange(B)[:, None]
-                pool_pts = pool_pts.at[bidx, slot].set(prev_local)
-                pool_ok = pool_ok.at[bidx, slot].set(prev_ok)
-                cursor = cursor + nval[:, -1]
-                template = _select_fixed(pool_pts[:, :C], pool_ok[:, :C],
+                C = pool_pts.shape[1]
+                u = jax.vmap(
+                    lambda a: jax.random.uniform(
+                        jax.random.fold_in(pool_base_key, a), (P,))
+                )(age)
+                allk = jnp.concatenate(
+                    [pool_key, jnp.where(prev_ok, u, -jnp.inf)], axis=1)
+                allp = jnp.concatenate([pool_pts, prev_local], axis=1)
+                pool_key, topi = jax.lax.top_k(allk, C)
+                pool_pts = jnp.take_along_axis(allp, topi[:, :, None], axis=1)
+                age = age + 1
+                # descending keys put valid points first: a prefix mask
+                template = _select_fixed(pool_pts, pool_key > -jnp.inf,
                                          t_size, mode=resample)
             else:  # firstandprevious: first crop (constant) U prev crop
                 merged_pts = jnp.concatenate([first_pts, prev_local], axis=1)
@@ -229,7 +245,7 @@ def make_match_step(model, config, A, is_bat, agg_mode, gt_mode):
         new_ref = rigid.get_offset_box(search_ref, offset, A=A)
         new_wlh = ref_wlh if gt_mode else carry_wlh
         if agg_mode == "all":
-            return (new_ref, new_wlh, pool_pts, pool_ok, cursor), new_ref
+            return (new_ref, new_wlh, pool_pts, pool_key, age), new_ref
         return (new_ref, new_wlh), new_ref
 
     return step
@@ -238,11 +254,12 @@ def make_match_step(model, config, A, is_bat, agg_mode, gt_mode):
 class MatchScanTracker(_TransferDispatchMixin):
     """Batched on-device tracker for P2B/BAT (template modes
     firstandprevious/first/previous/all; reference_BB modes previous_result/
-    previous_gt/current_gt). 'all' carries a fixed-capacity ring pool of
-    every previous frame's template crop through the scan (`template_pool`
-    points per tracklet; overflow overwrites the oldest points — a
-    documented deviation from the reference's unbounded host merge,
-    base_model.py:190-194; the host tracker remains the exact path)."""
+    previous_gt/current_gt). 'all' carries a fixed-capacity key reservoir
+    of every previous frame's template crop through the scan
+    (`template_pool` points per tracklet; under capacity it holds the
+    exact merged cloud, on overflow an exactly-uniform subsample of the
+    reference's unbounded host merge, base_model.py:190-194; the host
+    tracker remains the exact-semantics path)."""
 
     def __init__(self, model, variables, config, max_points: int = 4096,
                  first_crop_points: int = 1024, frame_bucket: int = 16,
@@ -319,12 +336,12 @@ class MatchScanTracker(_TransferDispatchMixin):
                 )
             carry0 = (init_box, wlh)
             if agg_mode == "all":
-                # empty ring pool + scratch tail (see make_match_step)
-                B, P = pts.shape[0], pts.shape[2]
+                # empty reservoir: all keys -inf (see make_match_step)
+                B = pts.shape[0]
                 C = int(template_pool)
                 carry0 = carry0 + (
-                    jnp.zeros((B, C + P, 3), pts.dtype),
-                    jnp.zeros((B, C + P), bool),
+                    jnp.zeros((B, C, 3), pts.dtype),
+                    jnp.full((B, C), -jnp.inf, jnp.float32),
                     jnp.zeros((B,), jnp.int32),
                 )
             _, boxes = jax.lax.scan(

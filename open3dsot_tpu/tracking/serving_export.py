@@ -126,8 +126,8 @@ def save_serving_bundle(tracker, path, platforms=None):
         "jax_version": jax.__version__,
         "platforms": list(platforms) if platforms else None,
         # the device state pool is rebuilt from shape on load ('wlh' slots
-        # init to ones; everything else zeros — a slot must be reset()
-        # before use either way)
+        # init to ones, reservoir keys to -inf, everything else zeros — a
+        # slot must be reset() before use either way)
         "state_shapes": {
             k: [list(map(int, jnp.shape(v))), str(jnp.result_type(v))]
             for k, v in tracker._state.items()
@@ -174,8 +174,17 @@ def load_serving_bundle(path):
         self.first_crop_points = int(meta["first_crop_points"])
         cfg.model_bb_scale = meta["model_bb_scale"]
         cfg.model_bb_offset = meta["model_bb_offset"]
+    # wlh slots init to ones; 'all'-mode reservoir keys to -inf (empty
+    # slot marker, scan_matching.make_match_step); everything else zeros
+    def _init_state(k, shape, dtype):
+        if k == "wlh":
+            return np.ones(tuple(shape), dtype)
+        if k == "pool_key":
+            return np.full(tuple(shape), -np.inf, dtype)
+        return np.zeros(tuple(shape), dtype)
+
     state = {
-        k: (np.ones if k == "wlh" else np.zeros)(tuple(shape), dtype)
+        k: _init_state(k, shape, dtype)
         for k, (shape, dtype) in meta["state_shapes"].items()
     }
     self._state = self._place(state)

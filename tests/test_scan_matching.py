@@ -251,7 +251,7 @@ class TestAggregationAndRefModes:
 
     def test_all_mode_runs_on_device(self):
         """shape_aggregation='all' runs on device via the carried template
-        ring pool: the tracker builds, scores, and the template actually
+        key reservoir: the tracker builds, scores, and the template actually
         accumulates (its trajectories differ from 'previous', whose template
         is only the last crop, and from 'firstandprevious')."""
         model_cache = {}
@@ -274,16 +274,16 @@ class TestAggregationAndRefModes:
         assert np.isfinite(out_all).all()
         for other in ("previous", "firstandprevious"):
             assert not np.allclose(out_all, track(other)), other
-        # a tiny pool forces ring wrap-around mid-tracklet; must stay finite
-        # and still produce a valid trajectory (oldest points overwritten)
+        # a tiny pool forces reservoir overflow mid-tracklet; must stay
+        # finite and still produce a valid trajectory (uniform subsample)
         out_tiny = track("all", template_pool=32)
         assert np.isfinite(out_tiny).all()
 
     def test_all_mode_pool_accumulates_crops_exactly(self):
-        """Unit contract of the 'all' carry: after k manual steps the ring
-        pool's valid points are EXACTLY the union of the k previous frames'
-        template crops (each canonical to its own carried result box) —
-        the reference's 'all' merge, base_model.py:190-194."""
+        """Unit contract of the 'all' carry: while under capacity, the key
+        reservoir's valid points are EXACTLY the union of the k previous
+        frames' template crops (each canonical to its own carried result
+        box) — the reference's 'all' merge, base_model.py:190-194."""
         from open3dsot_tpu.geometry import rigid
         from open3dsot_tpu.tracking.scan_matching import make_match_step
 
@@ -297,8 +297,8 @@ class TestAggregationAndRefModes:
         m_half = (jnp.stack([wlh[:, 1], wlh[:, 0], wlh[:, 2]], -1) / 2
                   * cfg.model_bb_scale + cfg.model_bb_offset)
         carry = (jnp.zeros((B, 4), jnp.float32), wlh,
-                 jnp.zeros((B, C + P, 3), jnp.float32),
-                 jnp.zeros((B, C + P), bool),
+                 jnp.zeros((B, C, 3), jnp.float32),
+                 jnp.full((B, C), -jnp.inf, jnp.float32),
                  jnp.zeros((B,), jnp.int32))
         fpts = jnp.zeros((B, 16, 3), jnp.float32)
         fval = jnp.zeros((B, 16), bool)
@@ -318,10 +318,65 @@ class TestAggregationAndRefModes:
                         & (local > -m_half[:, None]), -1)) & valid
             expected.extend(map(tuple, np.asarray(local)[0][inside[0]]))
             carry, _ = step(variables, wlh, fpts, fval, carry, xs)
-            pool_pts, pool_ok, cursor = map(np.asarray, carry[2:])
-            got = pool_pts[0][:C][pool_ok[0][:C]]
-            assert cursor[0] == len(expected)
+            pool_pts, pool_key, age = map(np.asarray, carry[2:])
+            got = pool_pts[0][pool_key[0] > -np.inf]
+            assert age[0] == t + 1
+            assert len(expected) <= C  # exactness regime for this test
             assert sorted(map(tuple, got)) == sorted(expected), f"step {t}"
+
+    def test_all_mode_pool_overflow_is_uniform_subsample(self):
+        """On overflow the reservoir must hold a uniform subsample of ALL
+        points seen — not the most recent frames (the old drop-oldest ring):
+        every pooled point is a member of the merged stream, exactly C
+        survive, and the survivors span early AND late frames."""
+        from open3dsot_tpu.geometry import rigid
+        from open3dsot_tpu.tracking.scan_matching import make_match_step
+
+        cfg = cfg_for("p2b", shape_aggregation="all")
+        model = get_model("p2b")(cfg)
+        variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
+        step = make_match_step(model, cfg, None, False, "all", False)
+        B, P, C, T = 1, 32, 16, 6
+        rng = np.random.default_rng(1)
+        wlh = jnp.asarray([[2.0, 4.0, 1.5]], jnp.float32)
+        m_half = (jnp.stack([wlh[:, 1], wlh[:, 0], wlh[:, 2]], -1) / 2
+                  * cfg.model_bb_scale + cfg.model_bb_offset)
+        carry = (jnp.zeros((B, 4), jnp.float32), wlh,
+                 jnp.zeros((B, C, 3), jnp.float32),
+                 jnp.full((B, C), -jnp.inf, jnp.float32),
+                 jnp.zeros((B,), jnp.int32))
+        fpts = jnp.zeros((B, 16, 3), jnp.float32)
+        fval = jnp.zeros((B, 16), bool)
+        valid = np.ones((B, P), bool)
+        frames = [rng.standard_normal((B, P, 3)).astype(np.float32) * 0.3
+                  for _ in range(T + 1)]
+        stream = {}  # point tuple -> source frame index
+        for t in range(T):
+            ref = carry[0]
+            xs = (jnp.asarray(frames[t]), jnp.asarray(valid),
+                  jnp.asarray(frames[t + 1]), jnp.asarray(valid))
+            local = rigid.remove_transform_points(
+                jnp.asarray(frames[t]), ref, A=None)
+            inside = np.asarray(
+                jnp.all((local < m_half[:, None])
+                        & (local > -m_half[:, None]), -1)) & valid
+            for pt in np.asarray(local)[0][inside[0]]:
+                stream[tuple(pt)] = t
+            carry, _ = step(variables, wlh, fpts, fval, carry, xs)
+        pool_pts, pool_key, age = map(np.asarray, carry[2:])
+        assert age[0] == T
+        got = [tuple(p) for p in pool_pts[0][pool_key[0] > -np.inf]]
+        assert len(got) == C  # stream >> capacity: pool is full
+        src = [stream[g] for g in got]  # every point came from the stream
+        # uniform over ~6 frames: a drop-oldest ring of size 16 would hold
+        # only the last frame; demand survivors from >= 3 distinct frames
+        # and at least one from the first half (P(miss first half) ~ 2^-16)
+        assert len(set(src)) >= 3, src
+        assert min(src) < T // 2, src
+        # keys descend: the validity mask is a prefix (contract used by
+        # _select_fixed)
+        finite = pool_key[0] > -np.inf
+        assert not (finite[1:] & ~finite[:-1]).any()
 
     def test_all_mode_online_matches_offline(self):
         """The online serving tracker carries the same pool state: its
