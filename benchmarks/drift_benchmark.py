@@ -18,8 +18,21 @@ matter) and covered only M2. This v2:
    - the scan path in bf16 (config.bf16),
 4. writes DRIFT.md incrementally (one section per family survives a crash).
 
+CHUNKED EXECUTION (this environment): the axon tunnel client leaks host RAM
+roughly one batch per device_put (~3.5 MB/step measured,
+scripts/probe_tunnel_leak.py) — a 400-epoch training run transfers >128 GB
+and gets OOM-killed. Each invocation therefore trains at most
+--chunk-epochs and exits with code 3 if the target is not reached; the
+trainer's ckpt_last + opt_state/step resume makes the chunked run
+computation-identical to an uninterrupted one (shuffle order, sampler RNG
+and LR schedule all key off the restored step). Finished family sections
+persist as <log_dir>/drift_section.md and DRIFT.md is reassembled from
+whatever sections exist, so any crash/kill costs at most one chunk.
+Loop until exit 0: scripts/run_drift_v2.sh.
+
 Usage: python benchmarks/drift_benchmark.py [--families m2,bat,p2b]
-       [--tracklets 64] [--frames 32] [--epochs-m2 400] [--epochs-match 120]
+       [--tracklets 64] [--frames 32] [--epochs-m2 300] [--epochs-match 120]
+       [--chunk-epochs 60]
 """
 
 from __future__ import annotations
@@ -128,7 +141,39 @@ def drift_rows(variables, test_sampler, cfg, is_m2: bool):
     return rows
 
 
-def run_family(fam: str, args, sections: list):
+def _epochs_done(workdir: str) -> int:
+    """Epochs completed so far, from the trainer's persisted history.jsonl
+    (0-based epoch numbers, one line per finished epoch)."""
+    import json
+
+    path = os.path.join(workdir, "history.jsonl")
+    if not os.path.exists(path):
+        return 0
+    done = -1
+    with open(path) as fh:
+        for line in fh:
+            done = max(done, json.loads(line).get("epoch", -1))
+    return done + 1
+
+
+def _read_traj(workdir: str):
+    import json
+
+    path = os.path.join(workdir, "history.jsonl")
+    traj = []
+    if os.path.exists(path):
+        with open(path) as fh:
+            for line in fh:
+                h = json.loads(line)
+                if "success" in h:
+                    traj.append((h["epoch"] + 1, h["success"], h["precision"]))
+    return traj
+
+
+def run_family(fam: str, args) -> bool:
+    """Train one chunk (resuming) or, when the target is reached, run the
+    drift rows and write this family's section file. Returns True when the
+    family is finished."""
     from open3dsot_tpu.data import get_dataset
     from open3dsot_tpu.models import get_model
     from open3dsot_tpu.train.trainer import Trainer
@@ -136,21 +181,35 @@ def run_family(fam: str, args, sections: list):
     is_m2 = fam == "m2"
     epochs = args.epochs_m2 if is_m2 else args.epochs_match
     cfg = family_config(fam, args, epochs)
+    section_path = os.path.join(cfg.log_dir, "drift_section.md")
+    if os.path.exists(section_path):
+        print(f"[{fam}] section already written; skipping", flush=True)
+        return True
     model = get_model(cfg.net_model)(cfg)
-    train_sampler = get_dataset(cfg, cfg.train_type, "train")
     test_sampler = get_dataset(cfg, "test", "test")
+    last_ckpt = os.path.join(cfg.log_dir, "ckpt_last")
 
-    print(f"[{fam}] training {epochs} epochs "
-          f"({cfg.net_model}, {FAMILIES[fam]['yaml']} + synthetic)", flush=True)
-    t0 = time.time()
-    trainer = Trainer(model, cfg, work_dir=cfg.log_dir, log_every=100)
-    state = trainer.fit(train_sampler, test_sampler, epochs=epochs)
-    variables = {"params": jax.device_get(state.params),
-                 "batch_stats": jax.device_get(state.batch_stats)}
-    train_s = time.time() - t0
-    traj = [(h["epoch"] + 1, h["success"], h["precision"])
-            for h in trainer.history if "success" in h]
-    print(f"[{fam}] trained in {train_s:.0f}s; val trajectory: "
+    done = _epochs_done(cfg.log_dir)
+    if done < epochs:
+        until = min(epochs, done + args.chunk_epochs)
+        print(f"[{fam}] training epochs {done}..{until} of {epochs} "
+              f"({cfg.net_model}, {FAMILIES[fam]['yaml']} + synthetic)",
+              flush=True)
+        train_sampler = get_dataset(cfg, cfg.train_type, "train")
+        trainer = Trainer(model, cfg, work_dir=cfg.log_dir, log_every=100)
+        trainer.fit(
+            train_sampler, test_sampler, epochs=until,
+            resume_from=last_ckpt if os.path.isdir(last_ckpt) else None,
+        )
+        if until < epochs:
+            return False  # more chunks needed (fresh process resets the leak)
+
+    restored = Trainer.load_checkpoint(last_ckpt)
+    variables = {"params": restored["params"],
+                 "batch_stats": restored["batch_stats"]}
+    train_s = _train_wall_s(cfg.log_dir)
+    traj = _read_traj(cfg.log_dir)
+    print(f"[{fam}] trained {epochs} epochs ({train_s:.0f}s); val trajectory: "
           + ", ".join(f"ep{e}: S {s:.1f}" for e, s, _ in traj), flush=True)
 
     rows = drift_rows(variables, test_sampler, cfg, is_m2)
@@ -173,11 +232,32 @@ def run_family(fam: str, args, sections: list):
     for label, s, p, dt, ds, dp in rows:
         out.append(f"| {label} | {s:.2f} | {p:.2f} | {dt:.0f} | {ds} | {dp} |")
     out.append("")
-    sections.append("\n".join(out))
-    write_md(args, sections)
+    with open(section_path, "w") as fh:
+        fh.write("\n".join(out))
+    write_md(args)
+    return True
 
 
-def write_md(args, sections):
+def _train_wall_s(workdir: str) -> float:
+    import json
+
+    path = os.path.join(workdir, "history.jsonl")
+    total = 0.0
+    if os.path.exists(path):
+        with open(path) as fh:
+            for line in fh:
+                total += json.loads(line).get("time_s", 0.0)
+    return total
+
+
+def write_md(args):
+    """Reassemble DRIFT.md from every family section file that exists."""
+    sections = []
+    for fam in ("m2", "bat", "p2b"):
+        p = os.path.join(f"/tmp/drift_run_{fam}", "drift_section.md")
+        if os.path.exists(p):
+            with open(p) as fh:
+                sections.append(fh.read())
     hdr = [
         "# Host-vs-scan eval drift v2 (converged models, all 3 families)",
         "",
@@ -205,13 +285,17 @@ def main():
     ap.add_argument("--families", default="m2,bat,p2b")
     ap.add_argument("--tracklets", type=int, default=64)
     ap.add_argument("--frames", type=int, default=32)
-    ap.add_argument("--epochs-m2", type=int, default=400)
+    ap.add_argument("--epochs-m2", type=int, default=300)
     ap.add_argument("--epochs-match", type=int, default=120)
+    ap.add_argument("--chunk-epochs", type=int, default=60,
+                    help="max epochs trained per process invocation "
+                         "(bounds the tunnel-client host-RAM leak; exit "
+                         "code 3 = call again to continue)")
     args = ap.parse_args()
 
-    sections: list = []
     for fam in args.families.split(","):
-        run_family(fam.strip(), args, sections)
+        if not run_family(fam.strip(), args):
+            sys.exit(3)  # more chunks needed; rerun in a fresh process
 
 
 if __name__ == "__main__":
