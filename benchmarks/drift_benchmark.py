@@ -141,6 +141,41 @@ def drift_rows(variables, test_sampler, cfg, is_m2: bool):
     return rows
 
 
+def _guard_workdir(workdir: str, fam: str, args, epochs: int):
+    """Resuming from a workdir trained under a DIFFERENT config (e.g. a
+    smoke run's tiny benchmark) would silently blend runs: wrong
+    steps-per-epoch makes the restored step map to the wrong start epoch,
+    and the section would claim epochs it never trained. Fingerprint the
+    run config; on mismatch, wipe the workdir and start fresh."""
+    import json
+    import shutil
+
+    fp = dict(fam=fam, tracklets=args.tracklets, frames=args.frames,
+              epochs=epochs, yaml=FAMILIES[fam]["yaml"],
+              overrides=FAMILIES[fam]["overrides"])
+    path = os.path.join(workdir, "drift_config.json")
+    if os.path.isdir(workdir):
+        old = None
+        if os.path.exists(path):
+            with open(path) as fh:
+                old = json.load(fh)
+        if old != fp:
+            print(f"[{fam}] workdir {workdir} was trained under a different "
+                  f"config; wiping for a fresh run", flush=True)
+            shutil.rmtree(workdir)
+    os.makedirs(workdir, exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(fp, fh)
+
+
+def _best_ckpt(workdir: str) -> str:
+    """The reference evaluates its BEST checkpoint
+    (ModelCheckpoint(monitor='precision/test', mode='max'), main.py:78-79)
+    — use ckpt_best for the drift rows too, falling back to ckpt_last."""
+    best = os.path.join(workdir, "ckpt_best")
+    return best if os.path.isdir(best) else os.path.join(workdir, "ckpt_last")
+
+
 def _epochs_done(workdir: str) -> int:
     """Epochs completed so far, from the trainer's persisted history.jsonl
     (0-based epoch numbers, one line per finished epoch)."""
@@ -185,6 +220,7 @@ def run_family(fam: str, args) -> bool:
     if os.path.exists(section_path):
         print(f"[{fam}] section already written; skipping", flush=True)
         return True
+    _guard_workdir(cfg.log_dir, fam, args, epochs)
     model = get_model(cfg.net_model)(cfg)
     test_sampler = get_dataset(cfg, "test", "test")
     last_ckpt = os.path.join(cfg.log_dir, "ckpt_last")
@@ -204,12 +240,16 @@ def run_family(fam: str, args) -> bool:
         if until < epochs:
             return False  # more chunks needed (fresh process resets the leak)
 
-    restored = Trainer.load_checkpoint(last_ckpt)
+    rows_ckpt = _best_ckpt(cfg.log_dir)
+    restored = Trainer.load_checkpoint(rows_ckpt)
     variables = {"params": restored["params"],
                  "batch_stats": restored["batch_stats"]}
     train_s = _train_wall_s(cfg.log_dir)
     traj = _read_traj(cfg.log_dir)
-    print(f"[{fam}] trained {epochs} epochs ({train_s:.0f}s); val trajectory: "
+    best_ep = max(traj, key=lambda t: t[2])[0] if traj else None
+    print(f"[{fam}] trained {epochs} epochs ({train_s:.0f}s); rows use "
+          f"{os.path.basename(rows_ckpt)} (best val ep{best_ep}); "
+          "val trajectory: "
           + ", ".join(f"ep{e}: S {s:.1f}" for e, s, _ in traj), flush=True)
 
     rows = drift_rows(variables, test_sampler, cfg, is_m2)
@@ -224,7 +264,11 @@ def run_family(fam: str, args) -> bool:
                                for e, s, p in traj))
         out.append("")
     out += [
-        f"Trained {epochs} epochs ({train_s:.0f}s, bf16 + device_sampler).",
+        f"Trained {epochs} epochs ({train_s:.0f}s, bf16 + device_sampler); "
+        f"rows evaluate {os.path.basename(rows_ckpt)}"
+        + (f" (best-val epoch {best_ep}" + ", the reference's "
+           "monitor='precision/test' ModelCheckpoint semantics)"
+           if rows_ckpt.endswith("ckpt_best") else "") + ".",
         "",
         "| eval path | Success | Precision | wall s | abs dS vs host | abs dP vs host |",
         "|---|---|---|---|---|---|",

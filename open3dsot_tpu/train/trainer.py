@@ -438,16 +438,22 @@ class Trainer:
         payload = ckptr.restore(path)
         if opt_state_like is not None and "opt_state" in payload:
             try:
+                # orbax rejects None template entries — use the untyped
+                # payload itself as the (structurally exact) template for
+                # everything but the optax namedtuple tree
                 template = {
-                    "params": None,
-                    "batch_stats": None,
-                    "step": None,
+                    "params": payload["params"],
+                    "batch_stats": payload["batch_stats"],
+                    "step": payload.get("step", 0),
                     "opt_state": jax.tree_util.tree_map(np.asarray, opt_state_like),
                 }
                 typed = ckptr.restore(path, template)
                 opt_state = typed["opt_state"]
-            except Exception:
-                opt_state = None  # structure changed; fall back to fresh opt
+            except Exception as e:  # structure changed; fresh opt — LOUDLY
+                print(f"[trainer] WARNING: opt_state restore failed "
+                      f"({type(e).__name__}: {e}); resuming with a FRESH "
+                      f"optimizer state (Adam moments reset)")
+                opt_state = None
         return {
             "params": payload["params"],
             "batch_stats": payload["batch_stats"],

@@ -96,6 +96,42 @@ class TestTrainer:
         )
         assert int(state.step) == 4  # 2 restored + 2 new
 
+    def test_chunked_fit_equals_uninterrupted(self, tmp_path):
+        """ckpt_last + opt_state/step resume across FRESH Trainer instances
+        must reproduce the uninterrupted run EXACTLY: the loader's shuffle
+        order, the device-sampler's fold_in(seed, step) RNG and the LR
+        schedule all key off the restored step. This is the property the
+        chunked-process training workaround for the tunnel client's
+        host-RAM leak relies on (benchmarks/drift_benchmark.py
+        --chunk-epochs, scripts/run_drift_v2.sh)."""
+        import jax
+
+        cfg_a = cfg_for_trainer(tmp_path / "a", device_sampler=True)
+        model = get_model("m2track")(cfg_a)
+        sampler = get_dataset(cfg_a, "train_motion", "train")
+        tr_a = Trainer(model, cfg_a, work_dir=str(tmp_path / "a"),
+                       log_every=100)
+        state_a = tr_a.fit(sampler, None, epochs=4)
+
+        cfg_b = cfg_for_trainer(tmp_path / "b", device_sampler=True)
+        tr_b1 = Trainer(get_model("m2track")(cfg_b), cfg_b,
+                        work_dir=str(tmp_path / "b"), log_every=100)
+        tr_b1.fit(sampler, None, epochs=2)
+        # second chunk: a brand-new Trainer (fresh-process simulation)
+        tr_b2 = Trainer(get_model("m2track")(cfg_b), cfg_b,
+                        work_dir=str(tmp_path / "b"), log_every=100)
+        state_b = tr_b2.fit(
+            sampler, None, epochs=4,
+            resume_from=os.path.join(str(tmp_path / "b"), "ckpt_last"),
+        )
+        assert int(state_a.step) == int(state_b.step)
+        for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                        jax.tree_util.tree_leaves(state_b.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state_a.batch_stats),
+                        jax.tree_util.tree_leaves(state_b.batch_stats)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 def _leaves(tree):
     if isinstance(tree, dict):
