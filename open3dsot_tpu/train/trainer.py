@@ -259,6 +259,7 @@ class Trainer:
             if restored.get("opt_state") is not None:
                 state = state.replace(opt_state=restored["opt_state"])
             start_epoch = int(restored.get("step", 0)) // spe
+            self._load_ckpt_meta()
         # optional BN-momentum schedule (reference BNMomentumScheduler,
         # pytorch_utils.py:272-297): cfg.bn_decay_step enables it
         bn_sched = None
@@ -330,6 +331,7 @@ class Trainer:
                     self.best_metric = prec
                     self.save_checkpoint(state, name="best")
                 self.save_topk_checkpoint(state, epoch, prec)
+                self._save_ckpt_meta()
             self.save_checkpoint(state, name="last")
             self.history.append(epoch_info)
             self._log(epoch_info)
@@ -407,6 +409,32 @@ class Trainer:
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
         return path
+
+    def _save_ckpt_meta(self):
+        """Persist the checkpoint bookkeeping (best metric + top-k table).
+        Lightning carries its ModelCheckpoint state inside the .ckpt; here
+        a resumed FRESH Trainer would otherwise restart best_metric at -inf
+        and let any first validation clobber ckpt_best with a worse model
+        (observed: a resume chunk's epoch-300 validation at P=64 overwrote
+        the converged P=91 ckpt_best)."""
+        import json
+
+        with open(os.path.join(self.work_dir, "ckpt_meta.json"), "w") as fh:
+            json.dump({"best_metric": float(self.best_metric),
+                       "topk": [[float(p), path] for p, path in self._topk]},
+                      fh)
+
+    def _load_ckpt_meta(self):
+        import json
+
+        path = os.path.join(self.work_dir, "ckpt_meta.json")
+        if not os.path.exists(path):
+            return
+        with open(path) as fh:
+            meta = json.load(fh)
+        self.best_metric = float(meta.get("best_metric", -np.inf))
+        self._topk = [(float(p), pth) for p, pth in meta.get("topk", [])
+                      if os.path.isdir(pth)]
 
     def save_topk_checkpoint(self, state: TrainState, epoch: int, precision: float):
         """Keep the k best per-epoch checkpoints by validation precision."""

@@ -96,6 +96,33 @@ class TestTrainer:
         )
         assert int(state.step) == 4  # 2 restored + 2 new
 
+    def test_resume_restores_best_metric_bookkeeping(self, tmp_path):
+        """A resumed FRESH Trainer must restore best_metric (and the top-k
+        table) from ckpt_meta.json — otherwise its first validation would
+        clobber ckpt_best with a worse model (the Lightning ModelCheckpoint
+        state the reference carries inside its .ckpt)."""
+        import json
+
+        cfg = cfg_for_trainer(tmp_path)
+        model = get_model("m2track")(cfg)
+        train_sampler = get_dataset(cfg, "train_motion", "train")
+        val_sampler = get_dataset(cfg, "test", "test")
+        tr1 = Trainer(model, cfg, work_dir=str(tmp_path), log_every=100)
+        tr1.fit(train_sampler, val_sampler, epochs=1, steps_per_epoch=1)
+        meta = json.load(open(os.path.join(str(tmp_path), "ckpt_meta.json")))
+        assert meta["best_metric"] == tr1.best_metric > -np.inf
+        # simulate a converged run: pretend the best seen was much higher
+        meta["best_metric"] = 99.0
+        json.dump(meta, open(os.path.join(str(tmp_path), "ckpt_meta.json"), "w"))
+        tr2 = Trainer(get_model("m2track")(cfg), cfg, work_dir=str(tmp_path),
+                      log_every=100)
+        tr2.fit(train_sampler, val_sampler, epochs=2, steps_per_epoch=1,
+                resume_from=os.path.join(str(tmp_path), "ckpt_last"))
+        # the resumed run's (worse) validation must NOT have become "best"
+        assert tr2.best_metric == 99.0
+        meta2 = json.load(open(os.path.join(str(tmp_path), "ckpt_meta.json")))
+        assert meta2["best_metric"] == 99.0
+
     def test_chunked_fit_equals_uninterrupted(self, tmp_path):
         """ckpt_last + opt_state/step resume across FRESH Trainer instances
         must reproduce the uninterrupted run EXACTLY: the loader's shuffle
