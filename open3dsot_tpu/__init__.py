@@ -18,11 +18,39 @@ import jax as _jax
 # second process (another bench script, a rerun, the driver) loads the
 # executable in <1 s. Opt out with OPEN3DSOT_NO_COMPILE_CACHE=1; an
 # explicit user-set jax cache dir wins.
+
+
+def _host_cache_key() -> str:
+    """XLA:CPU AOT executables are compiled for the build host's exact CPU
+    features and jax's cache key does NOT include them, so a cache dir
+    carried across a VM migration serves binaries the new host cannot run
+    (cpu_aot_loader: 'could lead to execution errors such as SIGILL' —
+    observed killing one worker of the 2-process Gloo tests, surfacing as
+    a DEADLINE_EXCEEDED in its peer). Keying the dir on the host's CPU
+    flags turns a migration into a clean cache miss."""
+    import hashlib
+    import platform
+
+    ident = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    ident += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(ident.encode()).hexdigest()[:10]
+
+
 if (not _os.environ.get("OPEN3DSOT_NO_COMPILE_CACHE")
         and _jax.config.jax_compilation_cache_dir is None):
-    _cache = _os.environ.get(
-        "OPEN3DSOT_COMPILE_CACHE",
-        _os.path.expanduser("~/.cache/open3dsot_tpu/xla"),
+    _cache = _os.path.join(
+        _os.environ.get(
+            "OPEN3DSOT_COMPILE_CACHE",
+            _os.path.expanduser("~/.cache/open3dsot_tpu/xla"),
+        ),
+        _host_cache_key(),
     )
     try:
         _os.makedirs(_cache, exist_ok=True)
