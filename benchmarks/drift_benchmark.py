@@ -217,10 +217,13 @@ def run_family(fam: str, args) -> bool:
     epochs = args.epochs_m2 if is_m2 else args.epochs_match
     cfg = family_config(fam, args, epochs)
     section_path = os.path.join(cfg.log_dir, "drift_section.md")
+    # guard BEFORE the already-written check: changed benchmark parameters
+    # wipe the workdir (section included) and retrain, instead of silently
+    # reusing a section measured under the old parameters
+    _guard_workdir(cfg.log_dir, fam, args, epochs)
     if os.path.exists(section_path):
         print(f"[{fam}] section already written; skipping", flush=True)
         return True
-    _guard_workdir(cfg.log_dir, fam, args, epochs)
     model = get_model(cfg.net_model)(cfg)
     test_sampler = get_dataset(cfg, "test", "test")
     last_ckpt = os.path.join(cfg.log_dir, "ckpt_last")
@@ -268,7 +271,9 @@ def run_family(fam: str, args) -> bool:
         f"rows evaluate {os.path.basename(rows_ckpt)}"
         + (f" (best-val epoch {best_ep}" + ", the reference's "
            "monitor='precision/test' ModelCheckpoint semantics)"
-           if rows_ckpt.endswith("ckpt_best") else "") + ".",
+           if rows_ckpt.endswith("ckpt_best") else "")
+        + f" on the {args.tracklets} tracklets x {args.frames} frames "
+        "benchmark.",
         "",
         "| eval path | Success | Precision | wall s | abs dS vs host | abs dP vs host |",
         "|---|---|---|---|---|---|",
@@ -305,9 +310,10 @@ def write_md(args):
     hdr = [
         "# Host-vs-scan eval drift v2 (converged models, all 3 families)",
         "",
-        f"device: {jax.devices()[0].device_kind}; benchmark: {args.tracklets} "
-        f"tracklets x {args.frames} frames; reference-scale configs with "
-        "dataset=synthetic. Same trained weights through every eval path.",
+        f"device: {jax.devices()[0].device_kind}; reference-scale configs "
+        "with dataset=synthetic; benchmark geometry is stated per section "
+        "(sections persist across invocations). Same trained weights "
+        "through every eval path.",
         "",
         "Drift sources: (a) the scan path replaces the host's seeded "
         "`np.random.choice` resampling (points_utils.py:24-40, seed=1 at "

@@ -15,8 +15,11 @@ Counting convention: matmul dots only (2 * MACs), matching how XLA's cost
 analysis is dominated by dots at these shapes; VPU elementwise/compare work
 (distance matrices, ReLU, BN folds, max-pool) is excluded on both sides of
 the sum, so fused and unfused rows stay comparable. A kernel traced inside
-`lax.scan` records ONCE per trace — the caller multiplies by the trip count
-(bench.py does this for the scan trackers).
+`lax.scan` records ONCE per trace — the caller multiplies by the trip count.
+Users: scripts/bench_train_scaling.py and benchmarks/run_all.py (train
+rows). bench.py does NOT use this: its MFU row is the unfused M2 tracker
+(XLA cost analysis is complete there) and the fused BAT/P2B rows report
+frames/s only.
 
 Only the Pallas implementations record: the interpret/'ref' golden paths are
 plain jnp, which XLA already counts.

@@ -179,15 +179,31 @@ def eval_store(path: str, config, tracker, n: int, batch_tracklets: int,
                shard_across_processes: bool = False,
                extra: Optional[dict] = None) -> PackedPrepStore:
     """Build a PackedPrepStore whose fingerprint pins everything that shapes
-    the packed arrays: dataset identity, batching, padding, transfer codec,
-    and (for multi-process sharded eval) this process's stripe."""
+    the packed arrays: dataset identity (including the content-determining
+    config — data path, synthetic seed/size, tiny/preload crops, up axis),
+    batching, padding, transfer codec, and (for multi-process sharded eval)
+    this process's stripe. Sharded processes write disjoint subdirectories
+    of `path`, so one shared --eval_prep_cache directory works for all of
+    them."""
     import jax
 
     shard = ([jax.process_index(), jax.process_count()]
              if shard_across_processes else [0, 1])
+    if shard != [0, 1]:
+        # one meta.json per stripe: processes must not share a store dir
+        path = os.path.join(path, f"shard_{shard[0]}_of_{shard[1]}")
     fp = {
         "dataset": str(getattr(config, "dataset", "?")),
         "category": str(getattr(config, "category_name", "?")),
+        # content-determining dataset config (data/__init__.py factory
+        # args): a warm store must never serve another dataset's frames
+        "path": str(getattr(config, "path", "")),
+        "tiny": bool(getattr(config, "tiny", False)),
+        "preload_offset": int(getattr(config, "preload_offset", -1)),
+        "seed": int(getattr(config, "seed", 42)),
+        "syn": [int(getattr(config, "syn_num_tracklets", 4)),
+                int(getattr(config, "syn_tracklet_len", 8))],
+        "up_axis": [float(v) for v in getattr(config, "up_axis", (0, 0, 1))],
         "tracker": type(tracker).__name__,
         "n": int(n),
         "batch_tracklets": int(batch_tracklets),

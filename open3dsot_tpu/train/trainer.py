@@ -419,10 +419,16 @@ class Trainer:
         the converged P=91 ckpt_best)."""
         import json
 
-        with open(os.path.join(self.work_dir, "ckpt_meta.json"), "w") as fh:
+        # atomic write: the chunked-training workflow (run_drift_v2.sh)
+        # expects this process to be OOM-killed at arbitrary points; a
+        # truncated meta would crash every later resume
+        meta_path = os.path.join(self.work_dir, "ckpt_meta.json")
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump({"best_metric": float(self.best_metric),
                        "topk": [[float(p), path] for p, path in self._topk]},
                       fh)
+        os.replace(tmp, meta_path)
 
     def _load_ckpt_meta(self):
         import json
@@ -430,8 +436,15 @@ class Trainer:
         path = os.path.join(self.work_dir, "ckpt_meta.json")
         if not os.path.exists(path):
             return
-        with open(path) as fh:
-            meta = json.load(fh)
+        try:
+            with open(path) as fh:
+                meta = json.load(fh)
+        except (json.JSONDecodeError, OSError) as e:
+            # legacy non-atomic writes could leave a truncated file; treat
+            # it as missing (best_metric restarts at -inf) rather than
+            # aborting the resumed run
+            print(f"WARNING: ignoring corrupt {path}: {e}")
+            return
         self.best_metric = float(meta.get("best_metric", -np.inf))
         self._topk = [(float(p), pth) for p, pth in meta.get("topk", [])
                       if os.path.isdir(pth)]

@@ -8,7 +8,7 @@ nonsense because XLA counts Pallas calls as zero. This sweep re-measures
 the curves with the calibrated chain timer and adds the closed-form Pallas
 dot counts (ops/flops.py), so samples/s AND true MFU are trustworthy.
 
-Usage: python scripts/bench_train_scaling.py [--models bat,p2b,m2]
+Usage: python scripts/bench_train_scaling.py [--models bat,p2b,m2track]
        [--batches 16,32,64] [--out BENCH_TRAIN_SCALING.md]
 """
 from __future__ import annotations
@@ -109,6 +109,7 @@ def main():
         "|---|---|---|---|---|---|---|",
     ]
     for model_name in args.models.split(","):
+        model_name = {"m2": "m2track"}.get(model_name, model_name)
         fused_opts = [True, False] if model_name != "m2track" else [False]
         for fused in fused_opts:
             # unfused rows are context, not the scaling question: B=16 only

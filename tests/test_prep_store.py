@@ -124,6 +124,44 @@ def test_fingerprint_mismatch_raises(tmp_path):
         PackedPrepStore(str(tmp_path / "x"), {"a": 2})
 
 
+def test_fingerprint_pins_dataset_content(tmp_path):
+    """A warm store must not serve another dataset's frames: changing any
+    content-determining config (here the synthetic seed) must fail loudly,
+    not validate on shape-only identity."""
+    from open3dsot_tpu.tracking.scan_tracker import M2ScanTracker
+
+    cfg, model, variables, _ = _m2_setup()
+    tracker = M2ScanTracker(model, variables, cfg, max_points=256,
+                            frame_bucket=4)
+    eval_store(str(tmp_path / "c"), cfg, tracker, n=4, batch_tracklets=2)
+    cfg.seed = cfg.seed + 1  # same shapes, different point clouds
+    with pytest.raises(ValueError, match="different fingerprint"):
+        eval_store(str(tmp_path / "c"), cfg, tracker, n=4,
+                   batch_tracklets=2)
+
+
+def test_sharded_processes_use_disjoint_subdirs(tmp_path, monkeypatch):
+    """Multi-process sharded eval with ONE shared --eval_prep_cache dir:
+    each process must get its own meta.json (stripe is part of the
+    fingerprint), so the stores must live in per-shard subdirectories."""
+    import jax
+
+    from open3dsot_tpu.tracking.scan_tracker import M2ScanTracker
+
+    cfg, model, variables, _ = _m2_setup()
+    tracker = M2ScanTracker(model, variables, cfg, max_points=256,
+                            frame_bucket=4)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    paths = []
+    for idx in range(2):
+        monkeypatch.setattr(jax, "process_index", lambda idx=idx: idx)
+        store = eval_store(str(tmp_path / "shared"), cfg, tracker, n=4,
+                           batch_tracklets=2, shard_across_processes=True)
+        paths.append(store.path)
+    assert paths[0] != paths[1]
+    assert all(str(tmp_path / "shared") in p for p in paths)
+
+
 def test_host_scored_eval_ignores_stub_store(tmp_path):
     """device_metrics=False needs real frames: a warm store must be skipped,
     not crash on stub access."""

@@ -123,6 +123,25 @@ class TestTrainer:
         meta2 = json.load(open(os.path.join(str(tmp_path), "ckpt_meta.json")))
         assert meta2["best_metric"] == 99.0
 
+    def test_corrupt_ckpt_meta_does_not_abort_resume(self, tmp_path):
+        """The chunked workflow expects processes to be OOM-killed at
+        arbitrary points; a truncated ckpt_meta.json must degrade (fresh
+        bookkeeping) instead of crashing the resumed run."""
+        cfg = cfg_for_trainer(tmp_path)
+        model = get_model("m2track")(cfg)
+        train_sampler = get_dataset(cfg, "train_motion", "train")
+        tr1 = Trainer(model, cfg, work_dir=str(tmp_path), log_every=100)
+        tr1.fit(train_sampler, None, epochs=1, steps_per_epoch=1)
+        with open(os.path.join(str(tmp_path), "ckpt_meta.json"), "w") as fh:
+            fh.write('{"best_metric": 1.')  # truncated mid-write
+        tr2 = Trainer(get_model("m2track")(cfg), cfg, work_dir=str(tmp_path),
+                      log_every=100)
+        state = tr2.fit(
+            train_sampler, None, epochs=2, steps_per_epoch=1,
+            resume_from=os.path.join(str(tmp_path), "ckpt_last"))
+        assert int(state.step) == 2
+        assert tr2.best_metric == -np.inf  # degraded, not crashed
+
     def test_chunked_fit_equals_uninterrupted(self, tmp_path):
         """ckpt_last + opt_state/step resume across FRESH Trainer instances
         must reproduce the uninterrupted run EXACTLY: the loader's shuffle
