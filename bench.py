@@ -54,22 +54,31 @@ def _peak_flops() -> float:
     return float("inf")  # CPU smoke runs: no meaningful peak, skip the gate
 
 
-def _timed_fps(track, args, real_frames: int, passes: int = 5):
-    """Run `passes` fenced passes; returns (fps, seconds_per_pass).
+def _timed_fps(track, args, real_frames: int, passes: int = 5,
+               blocks: int = 3):
+    """Run `blocks` blocks of `passes` fenced passes; returns
+    (fps, seconds_per_pass) of the FASTEST block.
 
     Dispatches are async (so H2D/compute of pass k+1 may overlap pass k —
     that is the steady-state pipeline), but the clock stops only after
-    np.asarray has pulled every pass's output to the host.
-    """
+    np.asarray has pulled every pass's output to the host. A block is a
+    ~100-ms window, so one remote-tunnel hiccup (~30-50 ms) inflates it by
+    tens of percent; best-of-blocks measures the device's steady-state
+    throughput rather than the tunnel's worst moment (observed: the
+    single-stream row read 2046 vs 2546 f/s across otherwise identical
+    runs before this)."""
     import numpy as np
 
     np.asarray(track(*args))  # compile + warm, fenced
-    t0 = time.perf_counter()
-    outs = [track(*args) for _ in range(passes)]
-    fetched = [np.asarray(o) for o in outs]
-    dt = (time.perf_counter() - t0) / passes
-    assert all(np.isfinite(f).all() for f in fetched)
-    return real_frames / dt, dt
+    best_dt = None
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        outs = [track(*args) for _ in range(passes)]
+        fetched = [np.asarray(o) for o in outs]
+        dt = (time.perf_counter() - t0) / passes
+        assert all(np.isfinite(f).all() for f in fetched)
+        best_dt = dt if best_dt is None else min(best_dt, dt)
+    return real_frames / best_dt, best_dt
 
 
 def _require_live_backend(timeout_s: float = 120.0):

@@ -87,6 +87,44 @@ def bat_case():
             evaluate_dataset_scan_matching, 8)
 
 
+def p2b_case():
+    """Same shapes/flow as bat_case but net_model=p2b, box_aware=False —
+    the third family's end-to-end eval row (VERDICT r3 item 4; mirrors
+    bench.py's p2b_scan_fps config)."""
+    from open3dsot_tpu.config import make_config
+    from open3dsot_tpu.data import get_dataset
+    from open3dsot_tpu.models import get_model
+    from open3dsot_tpu.tracking.scan_matching import (
+        MatchScanTracker,
+        evaluate_dataset_scan_matching,
+    )
+    from open3dsot_tpu.train.trainer import init_variables
+
+    cfg = make_config(dict(
+        dataset="synthetic", net_model="p2b", category_name="Car",
+        template_size=512, search_size=1024, point_sample_size=1024,
+        feature_channel=256, hidden_channel=256, out_channel=256,
+        vote_channel=256, num_proposal=64, k=4, bc_channel=9,
+        box_aware=False, use_fps=True, normalize_xyz=False, degrees=True,
+        use_z=False, limit_box=False, IoU_space=3,
+        model_bb_scale=1.25, model_bb_offset=0.0,
+        search_bb_scale=1.25, search_bb_offset=2.0,
+        shape_aggregation="firstandprevious", reference_BB="previous_result",
+        bb_scale=1.25, bb_offset=2.0, train_type="train_siamese",
+        syn_num_tracklets=32, syn_tracklet_len=32, seed=7,
+    ))
+    model = get_model("p2b")(cfg)
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    sampler = get_dataset(cfg, "test", "test")
+
+    def make_tracker(**kw):
+        return MatchScanTracker(model, variables, cfg, max_points=1024,
+                                first_crop_points=512, frame_bucket=32, **kw)
+
+    return ("p2b", cfg, model, variables, sampler, make_tracker,
+            evaluate_dataset_scan_matching, 8)
+
+
 def run_case(case):
     name, cfg, model, variables, sampler, make_tracker, eval_fn, bt = case
     n_frames = sum(len(sampler[i]) for i in range(len(sampler)))
@@ -139,6 +177,7 @@ def main():
     rows = []
     rows += run_case(m2_case())
     rows += run_case(bat_case())
+    rows += run_case(p2b_case())
     out = [
         "# End-to-end dataset eval (TPU, wall-clock incl. host work)",
         "",
