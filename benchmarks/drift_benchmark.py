@@ -123,14 +123,24 @@ def drift_rows(variables, test_sampler, cfg, is_m2: bool):
     print(f"  host: S {host_s:.2f} P {host_p:.2f} ({rows[-1][3]:.0f}s)",
           flush=True)
 
-    for label, bf16, mode in (
-        ("scan resample=strided (f32)", False, "strided"),
-        ("scan resample=first (f32)", False, "first"),
-        ("scan resample=strided (bf16)", True, "strided"),
-    ):
+    variants = [
+        ("scan resample=strided (f32)", False, "strided", None),
+        ("scan resample=first (f32)", False, "first", None),
+        ("scan resample=strided (bf16)", True, "strided", None),
+    ]
+    if bool(getattr(cfg, "limit_box", False)):
+        # both limit_box emulations (uniform is the default; zero is the
+        # fully-deterministic alternative) — the re-draw path only exists
+        # for limit_box configs (P2B family here)
+        variants.append(
+            ("scan strided (f32, limit_box_redraw=zero)", False, "strided",
+             "zero"))
+    for label, bf16, mode, lb_redraw in variants:
         c = copy.deepcopy(cfg)
         c.bf16 = bf16
         c.scan_resample = mode
+        if lb_redraw is not None:
+            c.limit_box_redraw = lb_redraw
         t0 = time.time()
         s, p = scan_fn(get_model(c.net_model)(c), variables, test_sampler, c,
                        max_points=1024)
@@ -319,10 +329,13 @@ def write_md(args):
         "`np.random.choice` resampling (points_utils.py:24-40, seed=1 at "
         "eval) with deterministic selection — 'strided' picks evenly-spaced "
         "cropped points, 'first' is prefix+cyclic fill; (b) for matching "
-        "trackers with limit_box=true (P2B row), the host's RNG offset "
-        "re-draw is replaced by the deterministic limit_box emulation "
-        "(tracking/scan_matching.py, rigid.limit_box_offset); (c) the bf16 "
-        "rows additionally quantize scan compute to bfloat16 (BN stats f32).",
+        "trackers with limit_box=true (P2B row), the host's np.random "
+        "uniform(-1,1) outlier re-draw is replaced on device by a jax-PRNG "
+        "U(-1,1) keyed per (tracklet age) — distribution-faithful, not "
+        "stream-equal (config.limit_box_redraw='uniform', the default; "
+        "'zero' substitutes the deterministic mean instead, rows below "
+        "measure both); (c) the bf16 rows additionally quantize scan "
+        "compute to bfloat16 (BN stats f32).",
         "",
     ]
     with open(DRIFT_MD, "w") as fh:

@@ -52,6 +52,11 @@ DEFAULTS: Dict[str, Any] = {
     "shape_aggregation": "firstandprevious",
     "use_z": False,
     "limit_box": True,
+    # scan-path limit_box re-draw for outlier predictions: 'uniform' draws
+    # real U(-1,1) from a per-step jax key (distribution-faithful to the
+    # reference's host np.random.uniform, points_utils.py:70-76); 'zero'
+    # substitutes the uniform's mean (fully deterministic trajectories)
+    "limit_box_redraw": "uniform",
     "IoU_space": 3,
     # training
     "batch_size": 64,
@@ -156,6 +161,7 @@ def load_config(path: str, overrides: Optional[Dict[str, Any]] = None) -> Config
 _ENUMS = {
     "coordinate_mode": {"velodyne", "camera"},
     "train_type": {"train_siamese", "train_motion"},
+    "limit_box_redraw": {"uniform", "zero"},
 }
 
 

@@ -183,23 +183,30 @@ def points_in_box(points: jnp.ndarray, box: jnp.ndarray, wlh: jnp.ndarray,
     return jnp.all(a < h if strict else a <= h, axis=-1)
 
 
-def limit_box_offset(offset: jnp.ndarray, wlh: jnp.ndarray, use_z: bool) -> jnp.ndarray:
-    """Deterministic device emulation of getOffsetBB's limit_box branch
+def limit_box_offset(offset: jnp.ndarray, wlh: jnp.ndarray, use_z: bool,
+                     redraw: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Device emulation of getOffsetBB's limit_box branch
     (/root/reference/datasets/points_utils.py:70-76).
 
-    The reference rescues wild predictions: an offset component exceeding the
-    box extent (note: POSITIVE overshoot only — the reference compares the
-    signed offset, a quirk preserved here) is re-drawn from the host's global
-    ``np.random.uniform(-1, 1)``. On device we replace it with 0.0 — the mean
-    of that uniform — keeping the scan jittable and deterministic; the z
-    branch is exact (the reference also sets it to 0). Host-vs-scan drift of
-    this emulation is measured in benchmarks/drift_benchmark.py.
+    The reference rescues wild predictions: an x/y offset component exceeding
+    the box extent (note: POSITIVE overshoot only — the reference compares
+    the signed offset, a quirk preserved here) is re-drawn from the host's
+    global ``np.random.uniform(-1, 1)``; an overshooting z is set to exactly
+    0. On device the x/y replacement is `redraw` (B, 2) — real U(-1, 1)
+    draws from a jax PRNG for distribution-faithful lost-track recovery
+    (the scan trackers fold a per-step key; see
+    scan_matching.make_match_step) — or 0.0 (the uniform's mean) when
+    ``redraw is None``, which keeps the trajectory fully deterministic
+    (config.limit_box_redraw='zero'). Host-vs-scan drift of both modes is
+    measured in benchmarks/drift_benchmark.py.
 
     offset (B, 4) = (dx, dy, dz, dtheta) box-local; wlh (B, 3).
     """
     zero = jnp.zeros_like(offset[:, 0])
-    dx = jnp.where(offset[:, 0] > wlh[:, 0], zero, offset[:, 0])
-    dy = jnp.where(offset[:, 1] > jnp.minimum(wlh[:, 1], 2.0), zero, offset[:, 1])
+    rx = zero if redraw is None else redraw[:, 0]
+    ry = zero if redraw is None else redraw[:, 1]
+    dx = jnp.where(offset[:, 0] > wlh[:, 0], rx, offset[:, 0])
+    dy = jnp.where(offset[:, 1] > jnp.minimum(wlh[:, 1], 2.0), ry, offset[:, 1])
     dz = offset[:, 2]
     if use_z:
         dz = jnp.where(dz > wlh[:, 2], zero, dz)

@@ -249,6 +249,12 @@ class OnlineMatchTracker(_OnlineBase):
         self.first_crop_points = int(first_crop_points)
         B, P, P1 = self.max_streams, self.max_points, self.first_crop_points
         pooled = agg_mode == "all"
+        # limit_box 'uniform' re-draws key off a per-slot step count, so the
+        # carry (and the slot state) gains 'age' even without the reservoir
+        aged = pooled or (
+            bool(getattr(config, "limit_box", False))
+            and str(getattr(config, "limit_box_redraw",
+                            "uniform")) == "uniform")
         state = {
             "ref": np.zeros((B, 4), np.float32),
             "prev_pts": np.zeros((B, P, 3), np.float32),
@@ -266,6 +272,7 @@ class OnlineMatchTracker(_OnlineBase):
             C = int(getattr(config, "template_pool", template_pool))
             state["pool_pts"] = np.zeros((B, C, 3), np.float32)
             state["pool_key"] = np.full((B, C), -np.inf, np.float32)
+        if aged:
             state["age"] = np.zeros((B,), np.int32)
         self._state = self._place(state)
 
@@ -276,6 +283,8 @@ class OnlineMatchTracker(_OnlineBase):
             if pooled:
                 carry = carry + (state["pool_pts"], state["pool_key"],
                                  state["age"])
+            elif aged:
+                carry = carry + (state["age"],)
             new_carry, _ = step(
                 variables, state["wlh"], state["first_pts"],
                 state["first_valid"], carry, xs
@@ -286,6 +295,8 @@ class OnlineMatchTracker(_OnlineBase):
             if pooled:
                 new_state.update(pool_pts=new_carry[2], pool_key=new_carry[3],
                                  age=new_carry[4])
+            elif aged:
+                new_state.update(age=new_carry[2])
             return new_state, new_ref
 
         @jax.jit
@@ -303,8 +314,9 @@ class OnlineMatchTracker(_OnlineBase):
                 # a fresh stream starts with an EMPTY reservoir (keys -inf)
                 new.update(
                     pool_key=state["pool_key"].at[slot].set(-jnp.inf),
-                    age=state["age"].at[slot].set(0),
                 )
+            if aged:
+                new.update(age=state["age"].at[slot].set(0))
             return new
 
         self._advance = advance

@@ -103,7 +103,10 @@ def make_match_step(model, config, A, is_bat, agg_mode, gt_mode):
     carry = (ref_box (B, 4), ref_wlh (B, 3)) — plus, when agg_mode='all',
     (pool_pts (B, C, 3), pool_key (B, C) f32, age (B,) int32): the key
     reservoir of all previous template crops (priority keys descending,
-    -inf = empty slot) and each row's step count.
+    -inf = empty slot) and each row's step count. When limit_box is active
+    with limit_box_redraw='uniform' (and agg_mode != 'all'), the carry is
+    (ref_box, ref_wlh, age (B,) int32) — the step count keys the U(-1,1)
+    outlier re-draws.
     ref_box/ref_wlh are the results_bbs chain's box
     AND its dimensions, because getOffsetBB copies the anchor's wlh onto
     each prediction (points_utils.py:43-85): under previous_result the
@@ -129,6 +132,15 @@ def make_match_step(model, config, A, is_bat, agg_mode, gt_mode):
     degrees = bool(config.degrees)
     use_z = bool(config.use_z)
     limit_box = bool(getattr(config, "limit_box", False))
+    # limit_box outlier re-draws: 'uniform' = real U(-1,1) from a jax key
+    # folded with the per-row step count (distribution-faithful to the
+    # reference's host np.random.uniform; same draw for equal-age rows, so
+    # online == offline holds under staggered stream starts exactly like
+    # the 'all' reservoir keys); 'zero' = deterministic mean substitution
+    lb_uniform = limit_box and str(
+        getattr(config, "limit_box_redraw", "uniform")) == "uniform"
+    lb_base_key = jax.random.PRNGKey(2) if lb_uniform else None
+    need_age = (agg_mode == "all") or lb_uniform
 
     def crop_local(pts, pad_valid, ref_box, half):
         local = rigid.remove_transform_points(pts, ref_box, A=A)
@@ -146,8 +158,11 @@ def make_match_step(model, config, A, is_bat, agg_mode, gt_mode):
         # as (points, priority keys, per-row step count).
         if agg_mode == "all":
             ref_box, carry_wlh, pool_pts, pool_key, age = carry
+        elif need_age:
+            ref_box, carry_wlh, age = carry
         else:
             ref_box, carry_wlh = carry
+        entry_age = age if need_age else None  # pre-increment: the draw key
         prev_pts, prev_valid, this_pts, this_valid = xs[:4]
         B = ref_box.shape[0]
         half_wlh = jnp.stack(
@@ -234,10 +249,20 @@ def make_match_step(model, config, A, is_bat, agg_mode, gt_mode):
         dz = est[:, 2] if use_z else jnp.zeros_like(est[:, 2])
         offset = jnp.stack([est[:, 0], est[:, 1], dz, theta], axis=-1)
         if limit_box:
-            # deterministic emulation of the host RNG re-draw
-            # (rigid.limit_box_offset; reference points_utils.py:70-76)
+            # outlier-prediction rescue (rigid.limit_box_offset; reference
+            # points_utils.py:70-76): x/y re-draws come from a real U(-1,1)
+            # keyed on the per-row step count ('uniform', default), or the
+            # deterministic 0 substitution ('zero')
+            redraw = None
+            if lb_uniform:
+                redraw = jax.vmap(
+                    lambda a: jax.random.uniform(
+                        jax.random.fold_in(lb_base_key, a), (2,),
+                        minval=-1.0, maxval=1.0)
+                )(entry_age)
             offset = rigid.limit_box_offset(
-                offset, ref_wlh if gt_mode else carry_wlh, use_z
+                offset, ref_wlh if gt_mode else carry_wlh, use_z,
+                redraw=redraw,
             )
         # the offset composes onto the search reference box — the carried
         # prediction OR the gt box in gt modes (evaluate_one_sample:54) —
@@ -246,6 +271,8 @@ def make_match_step(model, config, A, is_bat, agg_mode, gt_mode):
         new_wlh = ref_wlh if gt_mode else carry_wlh
         if agg_mode == "all":
             return (new_ref, new_wlh, pool_pts, pool_key, age), new_ref
+        if need_age:
+            return (new_ref, new_wlh, entry_age + 1), new_ref
         return (new_ref, new_wlh), new_ref
 
     return step
@@ -286,14 +313,19 @@ class MatchScanTracker(_TransferDispatchMixin):
         self._agg_mode = agg_mode
         self._ref_mode = ref_mode
         self._gt_mode = ref_mode != "previous_result"
+        lb_uniform = bool(getattr(config, "limit_box", False)) and str(
+            getattr(config, "limit_box_redraw", "uniform")) == "uniform"
         if bool(getattr(config, "limit_box", False)):
             # the scan path replaces the reference's host-RNG uniform(-1,1)
-            # re-draw with a deterministic 0 (rigid.limit_box_offset) —
-            # approximate; drift measured in benchmarks/drift_benchmark.py
+            # re-draw with a jax-PRNG U(-1,1) ('uniform', distribution-
+            # faithful) or a deterministic 0 ('zero') — not bit-equal to the
+            # host stream; drift measured in benchmarks/drift_benchmark.py
+            mode = "uniform" if lb_uniform else "zero"
             print(
-                "[scan_matching] limit_box active: the scan path emulates the "
-                "host RNG offset re-draw deterministically (approximate vs "
-                "reference; use tracking/eval.py for exact semantics)"
+                f"[scan_matching] limit_box active: scan-path offset "
+                f"re-draws use the '{mode}' device emulation (distribution-"
+                "level vs reference; use tracking/eval.py for exact "
+                "host-RNG semantics)"
             )
         # up-axis basis: None (z-up) or Rx(pi/2) for camera mode
         # (P2B_Car.yaml:15-16); raises on unsupported axes
@@ -344,6 +376,9 @@ class MatchScanTracker(_TransferDispatchMixin):
                     jnp.full((B, C), -jnp.inf, jnp.float32),
                     jnp.zeros((B,), jnp.int32),
                 )
+            elif lb_uniform:
+                # per-row step count: the limit_box re-draw key source
+                carry0 = carry0 + (jnp.zeros((pts.shape[0],), jnp.int32),)
             _, boxes = jax.lax.scan(
                 partial(step, variables, wlh, first_pts, first_valid),
                 carry0, xs

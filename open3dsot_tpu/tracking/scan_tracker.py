@@ -265,6 +265,9 @@ def make_m2_step(model, config, A, box_aware, compute_dtype=None):
     scale, offset = float(config.bb_scale), float(config.bb_offset)
     use_z = bool(getattr(config, "use_z", True))
     limit_box = bool(getattr(config, "limit_box", False))
+    lb_uniform = limit_box and str(
+        getattr(config, "limit_box_redraw", "uniform")) == "uniform"
+    lb_base_key = jax.random.PRNGKey(2) if lb_uniform else None
 
     def step(variables, wlh, carry, xs):
         ref_box = carry  # (B, 4) world frame
@@ -323,11 +326,23 @@ def make_m2_step(model, config, A, box_aware, compute_dtype=None):
         # box composition stays f32 regardless of the compute dtype
         pred = output["estimation_boxes"].astype(ref_box.dtype)  # (B, 4)
         if limit_box:
-            # deterministic emulation of the host RNG re-draw
-            # (rigid.limit_box_offset; reference points_utils.py:70-76).
+            # outlier-prediction rescue (rigid.limit_box_offset; reference
+            # points_utils.py:70-76): U(-1,1) re-draws keyed on the frame
+            # index ('uniform', default) or the deterministic 0 ('zero').
             # All shipped M2 configs set limit_box False, so this is
             # normally dead; kept for config parity.
-            pred = rigid.limit_box_offset(pred, wlh, use_z)
+            redraw = None
+            if lb_uniform:
+                # per-row fold: offline passes a scalar step index, online a
+                # per-slot (B,1) counter — equal-index rows share the draw,
+                # so online == offline under staggered stream starts
+                idx_vec = jnp.broadcast_to(
+                    jnp.asarray(step_idx).reshape(-1), (B,))
+                redraw = jax.vmap(
+                    lambda a: jax.random.uniform(
+                        jax.random.fold_in(lb_base_key, a), (2,),
+                        minval=-1.0, maxval=1.0))(idx_vec)
+            pred = rigid.limit_box_offset(pred, wlh, use_z, redraw=redraw)
         new_ref = rigid.get_offset_box(ref_box, pred, A=A)
         return new_ref, new_ref
 

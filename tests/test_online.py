@@ -165,6 +165,35 @@ class TestOnlineMatch:
             OnlineMatchTracker(model, variables, cfg)
 
 
+def test_limit_box_uniform_online_matches_offline():
+    """limit_box + 'uniform' re-draws carry a per-slot age through the
+    online state; staggered or not, the draws key off each slot's own step
+    count, so online trajectories must still equal the offline scan."""
+    cfg = match_cfg("p2b", limit_box=True)  # limit_box_redraw defaults to uniform
+    model = get_model("p2b")(cfg)
+    variables = model.init(jax.random.PRNGKey(0), model.dummy_batch(2))
+    sampler = get_dataset(cfg, "test", "test")
+    seqs = [sampler[0], sampler[1]]
+    scan = MatchScanTracker(model, variables, cfg, max_points=256,
+                            first_crop_points=128)
+    want = scan.track_batch(seqs)
+    online = OnlineMatchTracker(model, variables, cfg, max_streams=4,
+                                max_points=256, first_crop_points=128)
+    assert "age" in jax.tree_util.tree_map(lambda x: x, online._state)
+    for slot, seq in enumerate(seqs):
+        online.reset(slot, seq[0]["pc"], seq[0]["3d_bbox"])
+    T = max(len(s) for s in seqs)
+    got = [[] for _ in seqs]
+    for t in range(1, T):
+        frames = {slot: _frames(seq)[t]
+                  for slot, seq in enumerate(seqs) if t < len(seq)}
+        boxes = online.step(frames)
+        for slot in frames:
+            got[slot].append(boxes[slot])
+    for w, g in zip(want, got):
+        assert np.allclose(w, np.stack(g), atol=1e-4)
+
+
 def test_factory_picks_family():
     cfg, model, variables, _ = _m2_setup()
     assert isinstance(

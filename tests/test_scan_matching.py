@@ -133,6 +133,75 @@ class TestLimitBox:
         out = rigid.limit_box_offset(off(0.0, 0.0, 2.0, 0.0), wlh, use_z=False)
         assert np.allclose(np.asarray(out), [[0.0, 0.0, 2.0, 0.0]])
 
+    def test_limit_box_offset_uniform_redraw(self):
+        """redraw= substitutes the provided U(-1,1) values for fired x/y
+        components (the reference's np.random.uniform re-draw,
+        points_utils.py:71-73); z stays exactly 0 in both modes."""
+        from open3dsot_tpu.geometry import rigid
+
+        wlh = jnp.asarray([[1.5, 3.0, 1.4]], np.float32)
+        off = jnp.asarray([[2.0, 2.5, 2.0, 0.3]], np.float32)  # all fire
+        redraw = jnp.asarray([[0.7, -0.4]], np.float32)
+        out = np.asarray(rigid.limit_box_offset(off, wlh, use_z=True,
+                                                redraw=redraw))
+        assert np.allclose(out, [[0.7, -0.4, 0.0, 0.3]])
+        # un-fired components keep the prediction, not the redraw
+        off2 = jnp.asarray([[0.5, 2.5, 0.0, 0.1]], np.float32)
+        out2 = np.asarray(rigid.limit_box_offset(off2, wlh, use_z=True,
+                                                 redraw=redraw))
+        assert np.allclose(out2, [[0.5, -0.4, 0.0, 0.1]])
+
+    def test_limit_box_uniform_scan_draws_per_step(self):
+        """limit_box_redraw='uniform' (the default): a wild prediction is
+        replaced by a real U(-1,1) draw that changes per frame but is
+        deterministic across runs; 'zero' reproduces the old deterministic
+        substitution. A stub model forces the outlier branch every step."""
+        from open3dsot_tpu.tracking.scan_matching import make_match_step
+
+        class _WildModel:
+            def apply(self, variables, batch, train=False):
+                B = batch["search_points"].shape[0]
+                boxes = jnp.zeros((B, 1, 5), jnp.float32)
+                boxes = boxes.at[:, 0, 0].set(50.0)  # dx >> wlh[0]
+                boxes = boxes.at[:, 0, 1].set(50.0)  # dy >> min(l, 2)
+                boxes = boxes.at[:, 0, 4].set(1.0)
+                return {"estimation_boxes": boxes}
+
+        B, P = 2, 16
+        wlh = jnp.broadcast_to(jnp.asarray([1.5, 3.0, 1.4]), (B, 3))
+        fpts = jnp.zeros((B, 8, 3), jnp.float32)
+        fval = jnp.ones((B, 8), bool)
+        pts = jnp.zeros((B, P, 3), jnp.float32)
+        ok = jnp.ones((B, P), bool)
+        xs = (pts, ok, pts, ok)
+
+        def run(redraw_mode, ages):
+            cfg = cfg_for("p2b", limit_box=True,
+                          limit_box_redraw=redraw_mode, degrees=False,
+                          use_z=False)
+            step = make_match_step(_WildModel(), cfg, None, False,
+                                   "firstandprevious", False)
+            out = []
+            for a in ages:
+                carry = (jnp.zeros((B, 4), jnp.float32), wlh)
+                if redraw_mode == "uniform":
+                    carry = carry + (jnp.full((B,), a, jnp.int32),)
+                new_carry, ref = step(None, wlh, fpts, fval, carry, xs)
+                if redraw_mode == "uniform":
+                    assert int(new_carry[2][0]) == a + 1  # age advances
+                out.append(np.asarray(ref))
+            return out
+
+        z0, z1 = run("zero", [0, 1])
+        assert np.allclose(z0[:, :2], 0.0) and np.allclose(z1[:, :2], 0.0)
+        u0, u1 = run("uniform", [0, 1])
+        u0b, _ = run("uniform", [0, 1])
+        assert np.allclose(u0, u0b)  # deterministic across runs
+        assert not np.allclose(u0, u1)  # per-step draws differ
+        for u in (u0, u1):
+            assert np.all(np.abs(u[:, :2]) < 1.0)  # U(-1,1), not zero
+            assert np.any(np.abs(u[:, :2]) > 1e-3)
+
 
 class TestAggregationAndRefModes:
     """Scan-path support for shape_aggregation first/previous and
