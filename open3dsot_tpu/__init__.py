@@ -27,16 +27,29 @@ def _host_cache_key() -> str:
     (cpu_aot_loader: 'could lead to execution errors such as SIGILL' —
     observed killing one worker of the 2-process Gloo tests, surfacing as
     a DEADLINE_EXCEEDED in its peer). Keying the dir on the host's CPU
-    flags turns a migration into a clean cache miss."""
+    identity turns a migration into a clean cache miss.
+
+    The key must include family/model/stepping, not just the flags line:
+    XLA derives LLVM tuning features from the CPU *model* (e.g. Emerald
+    Rapids gets +prefer-no-scatter/+prefer-no-gather) that never appear in
+    /proc/cpuinfo flags — two migration hosts with identical flags but
+    different models were observed colliding on the flags-only key,
+    re-surfacing the cpu_aot_loader mismatch warnings."""
     import hashlib
     import platform
 
     ident = platform.machine()
+    want = ("flags", "Features", "cpu family", "model", "stepping",
+            "vendor_id", "CPU implementer", "CPU part")
+    seen = set()
     try:
         with open("/proc/cpuinfo") as fh:
             for line in fh:
-                if line.startswith(("flags", "Features")):
+                k = line.split(":", 1)[0].strip()
+                if k in want and k not in seen:
+                    seen.add(k)  # first core only; cores are homogeneous
                     ident += line
+                if len(seen) == len(want) or line.strip() == "" and seen:
                     break
     except OSError:
         pass
