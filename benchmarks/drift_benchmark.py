@@ -123,6 +123,25 @@ def drift_rows(variables, test_sampler, cfg, is_m2: bool):
     print(f"  host: S {host_s:.2f} P {host_p:.2f} ({rows[-1][3]:.0f}s)",
           flush=True)
 
+    if bool(getattr(cfg, "limit_box", False)):
+        # the host path is itself nondeterministic for limit_box configs:
+        # the outlier re-draw consumes the process-GLOBAL np.random stream
+        # (reference points_utils.py:70-76 — regularize_pc is seeded, the
+        # re-draw is not), so two reference runs with different process
+        # histories diverge too. Measure that host-vs-host spread: it is
+        # the NOISE FLOOR any scan-drift number must be read against.
+        np.random.seed(20260819)
+        t0 = time.time()
+        h2_s, h2_p = evaluate_dataset(
+            get_model(c.net_model)(c), variables, test_sampler, c)
+        rows.append(("host, re-seeded global RNG (noise floor)", h2_s, h2_p,
+                     time.time() - t0,
+                     f"{abs(h2_s - host_s):.2f}", f"{abs(h2_p - host_p):.2f}"))
+        print(f"  host-vs-host (re-seeded limit_box RNG): S {h2_s:.2f} "
+              f"P {h2_p:.2f} |dS| {abs(h2_s - host_s):.2f} "
+              f"|dP| {abs(h2_p - host_p):.2f} ({rows[-1][3]:.0f}s)",
+              flush=True)
+
     variants = [
         ("scan resample=strided (f32)", False, "strided", None),
         ("scan resample=first (f32)", False, "first", None),
@@ -336,6 +355,13 @@ def write_md(args):
         "'zero' substitutes the deterministic mean instead, rows below "
         "measure both); (c) the bf16 rows additionally quantize scan "
         "compute to bfloat16 (BN stats f32).",
+        "",
+        "Noise floor: for limit_box configs the HOST path is itself "
+        "nondeterministic — the reference's outlier re-draw consumes the "
+        "process-global np.random stream (points_utils.py:70-76), so two "
+        "reference runs with different process histories diverge. The "
+        "'re-seeded global RNG' row measures that host-vs-host spread; "
+        "scan-vs-host drift should be read against it.",
         "",
     ]
     with open(DRIFT_MD, "w") as fh:
