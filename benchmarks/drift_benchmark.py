@@ -353,8 +353,13 @@ def write_md(args):
         "U(-1,1) keyed per (tracklet age) — distribution-faithful, not "
         "stream-equal (config.limit_box_redraw='uniform', the default; "
         "'zero' substitutes the deterministic mean instead, rows below "
-        "measure both); (c) the bf16 rows additionally quantize scan "
-        "compute to bfloat16 (BN stats f32).",
+        "measure both). Keying on age alone means tracklets in a batch "
+        "that overshoot at the SAME step draw the identical (dx, dy) — "
+        "correlated across rows, unlike the reference's independent "
+        "per-event draws; the marginal is faithful, and the age-only key "
+        "is what keeps online (staggered stream starts) == offline exact. "
+        "(c) the bf16 rows additionally quantize scan compute to bfloat16 "
+        "(BN stats f32).",
         "",
         "Noise floor: for limit_box configs the HOST path is itself "
         "nondeterministic — the reference's outlier re-draw consumes the "

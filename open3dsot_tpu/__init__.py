@@ -18,52 +18,43 @@ import jax as _jax
 # second process (another bench script, a rerun, the driver) loads the
 # executable in <1 s. Opt out with OPEN3DSOT_NO_COMPILE_CACHE=1; an
 # explicit user-set jax cache dir wins.
+#
+# CPU-platform processes get NO persistent cache. XLA:CPU entries are AOT
+# executables compiled for the build host's exact LLVM target machine —
+# including CPU-MODEL-derived tuning features (+prefer-no-gather etc.) that
+# appear in no /proc/cpuinfo flags line — and jax's cache key carries no CPU
+# identity at all (the CPU backend's platform_version is the literal string
+# 'cpu'). On this environment the VM migrates between sessions, and a stale
+# entry loaded on the wrong host SIGILLs (cpu_aot_loader.cc mismatch errors
+# observed in MULTICHIP_r04.json even after keying the dir on
+# family/model/stepping+flags — the tuning features are invisible to any
+# host-derived key). CPU compiles are seconds, not minutes, so the fix is to
+# never persist them: the hazard class disappears, and TPU executables —
+# which don't depend on the host CPU — now share ONE dir across migrations
+# instead of re-paying a 5-10 min compile per migration.
+# Regression-tested in tests/test_compile_cache_gate.py.
 
 
-def _host_cache_key() -> str:
-    """XLA:CPU AOT executables are compiled for the build host's exact CPU
-    features and jax's cache key does NOT include them, so a cache dir
-    carried across a VM migration serves binaries the new host cannot run
-    (cpu_aot_loader: 'could lead to execution errors such as SIGILL' —
-    observed killing one worker of the 2-process Gloo tests, surfacing as
-    a DEADLINE_EXCEEDED in its peer). Keying the dir on the host's CPU
-    identity turns a migration into a clean cache miss.
-
-    The key must include family/model/stepping, not just the flags line:
-    XLA derives LLVM tuning features from the CPU *model* (e.g. Emerald
-    Rapids gets +prefer-no-scatter/+prefer-no-gather) that never appear in
-    /proc/cpuinfo flags — two migration hosts with identical flags but
-    different models were observed colliding on the flags-only key,
-    re-surfacing the cpu_aot_loader mismatch warnings."""
-    import hashlib
-    import platform
-
-    ident = platform.machine()
-    want = ("flags", "Features", "cpu family", "model", "stepping",
-            "vendor_id", "CPU implementer", "CPU part")
-    seen = set()
-    try:
-        with open("/proc/cpuinfo") as fh:
-            for line in fh:
-                k = line.split(":", 1)[0].strip()
-                if k in want and k not in seen:
-                    seen.add(k)  # first core only; cores are homogeneous
-                    ident += line
-                if len(seen) == len(want) or line.strip() == "" and seen:
-                    break
-    except OSError:
-        pass
-    return hashlib.sha1(ident.encode()).hexdigest()[:10]
+def _should_enable_cache(environ=None, jax_platforms=None) -> bool:
+    """True iff the persistent compile cache is safe for this process: the
+    effective jax platform is not CPU (see module comment). The effective
+    platform is jax.config.jax_platforms when set (tests' conftest forces
+    'cpu' there before this package imports), else the JAX_PLATFORMS env
+    var; an empty/auto value on this machine resolves to the TPU plugin."""
+    environ = _os.environ if environ is None else environ
+    if environ.get("OPEN3DSOT_NO_COMPILE_CACHE"):
+        return False
+    if jax_platforms is None:
+        jax_platforms = _jax.config.jax_platforms
+    p = jax_platforms or environ.get("JAX_PLATFORMS", "")
+    return p.split(",")[0].strip().lower() != "cpu"
 
 
-if (not _os.environ.get("OPEN3DSOT_NO_COMPILE_CACHE")
+if (_should_enable_cache()
         and _jax.config.jax_compilation_cache_dir is None):
-    _cache = _os.path.join(
-        _os.environ.get(
-            "OPEN3DSOT_COMPILE_CACHE",
-            _os.path.expanduser("~/.cache/open3dsot_tpu/xla"),
-        ),
-        _host_cache_key(),
+    _cache = _os.environ.get(
+        "OPEN3DSOT_COMPILE_CACHE",
+        _os.path.expanduser("~/.cache/open3dsot_tpu/xla"),
     )
     try:
         _os.makedirs(_cache, exist_ok=True)

@@ -12,6 +12,15 @@ into the global frame via calibrated_sensor then ego_pose
 Scene splits: uses nuscenes.utils.splits when the devkit happens to be
 installed, else reads `{dataroot}/splits.json` (mapping split -> scene-name
 list). The split lists are devkit constants, not derivable from the data.
+
+TRANSCRIPTION NOTICE: the category-mapping constant tables below
+(general_to_tracking_class / tracking_to_general_class) and the
+tracklet-assembly rules (keyframe filtering, min_points on eval splits,
+annotation-chain walk order) are deliberate semantics-pinned transcriptions
+of the reference's datasets/nuscenes_data.py:17-80,96-141 — they define
+WHICH tracklets exist and in what order, i.e. the dataset identity itself;
+any deviation silently changes the benchmark. The IO path around them
+(direct JSON table reader instead of the devkit) is an original design.
 """
 
 from __future__ import annotations

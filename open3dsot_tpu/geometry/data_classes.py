@@ -7,6 +7,16 @@ structures for dataset IO and the tracklet eval driver; everything on device
 works on fixed-shape (x, y, z[, extra]) arrays plus (cx, cy, cz, theta) box
 params instead (geometry/rigid.py).
 
+TRANSCRIPTION NOTICE: the Box container's method-by-method semantics are a
+deliberate semantics-pinned transcription of the reference's
+datasets/data_classes.py (itself the nuScenes devkit's public container).
+Corner ordering, the wlh->xyz axis mapping, the rotate/translate composition
+order, and the transform form ARE the parity surface — every crop, label,
+metric and checkpoint in the framework is defined against them, so an
+"idiomatic" restructuring would change the produced datasets and break the
+north-star Success/Precision parity goal (CLAUDE.md exact-parity surfaces).
+Pinned against the LIVE reference code in tests/test_reference_live_parity.py.
+
 Behavioral parity notes (reference file:line):
 - Box.corners() ordering and wlh->xyz mapping: data_classes.py:226-250.
 - Box.transform uses the reference's (transposed, perspective-divide) form:

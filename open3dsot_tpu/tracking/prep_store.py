@@ -204,11 +204,20 @@ def eval_store(path: str, config, tracker, n: int, batch_tracklets: int,
         "syn": [int(getattr(config, "syn_num_tracklets", 4)),
                 int(getattr(config, "syn_tracklet_len", 8))],
         "up_axis": [float(v) for v in getattr(config, "up_axis", (0, 0, 1))],
+        "coordinate_mode": str(getattr(config, "coordinate_mode", "velodyne")),
+        "split": str(getattr(config, "test_split", "test")),
         "tracker": type(tracker).__name__,
         "n": int(n),
         "batch_tracklets": int(batch_tracklets),
         "max_points": int(tracker.max_points),
         "frame_bucket": int(tracker.frame_bucket),
+        # content-determining crop geometry (ADVICE r4): the matching
+        # tracker's cached first-frame template crop is shaped by
+        # model_bb_scale/offset, and the packed batch pad by the mesh size —
+        # two evals differing only in these must not share a store
+        "model_bb": [float(getattr(config, "model_bb_scale", 1.0)),
+                     float(getattr(config, "model_bb_offset", 0.0))],
+        "mesh_size": int(getattr(tracker, "_mesh_size", 1)),
         "transfer": (str(np.dtype(tracker.transfer_dtype))
                      if tracker.transfer_dtype is not None else "f32"),
         "shard": shard,

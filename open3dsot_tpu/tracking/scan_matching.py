@@ -607,6 +607,10 @@ def evaluate_dataset_scan_matching(model, variables, test_sampler, config,
         # (the writer needs the Box trajectories on the host anyway)
         from open3dsot_tpu.tracking.scan_tracker import _scan_eval_with_writer
 
+        if prep_store_path is not None:
+            print("[scan eval] --eval_prep_cache is ignored with "
+                  "--save_results: the writer path needs real host frames, "
+                  "which a warm PackedPrepStore does not hold")
         return _scan_eval_with_writer(
             tracker, test_sampler, config, n, batch_tracklets,
             shard_across_processes, results_writer, success, precision)
