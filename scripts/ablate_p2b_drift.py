@@ -10,7 +10,14 @@ SAME trained weights (/tmp/drift_run_p2b/ckpt_best from the round-4 drift run):
 2. score the SCAN trajectories with the HOST scorer (device_metrics=False) —
    if that lands at the host number the divergence is in the device scorer,
    if it stays at the scan number the divergence is in the tracking itself;
-3. ablate each unique-to-P2B config axis one at a time:
+3. run the HOST tracker with the scan's deterministic substitutions patched
+   in (regularize_pc -> strided selection, limit_box re-draw -> 0): if
+   host_strided lands at the scan number, the whole drift is the documented
+   resampling/re-draw deviation (the reference's upsample-with-replacement
+   drops ~15% of unique crop points; strided cyclic fill keeps them all),
+   not a behavioral bug — scripts/bisect_p2b_scan.py separately proves the
+   two paths are input-identical under matched determinism;
+4. ablate each unique-to-P2B config axis one at a time:
    limit_box=False, use_z=True, up_axis=[0,0,1] (z-up synthetic scene) —
    whichever ablation collapses the drift names the mechanism.
 
@@ -71,7 +78,7 @@ def main():
 
     # (label, config overrides, which paths)
     variants = [
-        ("base", {}, ("host", "scan", "scan_hostscored")),
+        ("base", {}, ("host", "host_strided", "scan", "scan_hostscored")),
         ("limit_box=False", {"limit_box": False}, ("host", "scan")),
         ("use_z=True", {"use_z": True}, ("host", "scan")),
         ("zup (up_axis=[0,0,1])",
@@ -95,6 +102,23 @@ def main():
                 np.random.seed(0)  # fixed process history for the limit_box
                 s, p = evaluate_dataset(
                     get_model(c.net_model)(c), variables, test_sampler, c)
+            elif path == "host_strided":
+                # the HOST loop with the scan's deterministic substitutions
+                # patched in: isolates the resampling/re-draw deviation from
+                # any (dis)proof of scan-path behavior
+                from open3dsot_tpu.geometry import points_utils
+                from scripts.bisect_p2b_scan import strided_regularize
+
+                orig_reg = points_utils.regularize_pc
+                orig_uniform = np.random.uniform
+                points_utils.regularize_pc = strided_regularize
+                np.random.uniform = lambda *a, **k: 0.0
+                try:
+                    s, p = evaluate_dataset(
+                        get_model(c.net_model)(c), variables, test_sampler, c)
+                finally:
+                    points_utils.regularize_pc = orig_reg
+                    np.random.uniform = orig_uniform
             else:
                 s, p = evaluate_dataset_scan_matching(
                     get_model(c.net_model)(c), variables, test_sampler, c,
