@@ -58,7 +58,8 @@ def _k_p1(cdt, n_layers, tap_at, x_ref, *rest):
     for i, (w, b) in enumerate(folded):
         h = jax.lax.dot_general(
             h.astype(cdt), w[...].astype(cdt), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
         h = jnp.maximum(h + b[None, :], 0.0)
         if tap_at is not None and i == tap_at:
             tap_ref[0] = h.astype(tap_ref.dtype)
@@ -82,11 +83,13 @@ def _k_p2(cdt, n_layers, x_ref, pool_ref, *rest):
     for w, b in folded:
         h = jax.lax.dot_general(
             h.astype(cdt), w[...].astype(cdt), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
         h = jnp.maximum(h + b[None, :], 0.0)
     out = jax.lax.dot_general(
         h.astype(cdt), wh[...].astype(cdt), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + bh[None, :]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT) + bh[None, :]
     out_ref[0] = out.astype(out_ref.dtype)
 
 

@@ -99,10 +99,16 @@ def _dot(a, b, cdt):
     # for f32 inputs), and in CPU interpret mode f32 dots are exact — the
     # golden tests compare there. HIGHEST (bf16_6x) would make the one-hot
     # gather ~6x more expensive for precision the baseline doesn't have.
+    # Pinned EXPLICITLY (not inherited): under an ambient
+    # jax.default_matmul_precision("highest") context Mosaic rejects
+    # bf16-operand tpu.matmul with fp32 contract precision ("Bad lhs
+    # type"), and the kernel's numerics contract is default-precision
+    # regardless of the caller's context.
     del cdt
     return jax.lax.dot_general(
         a, b, (((a.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
 
 

@@ -447,7 +447,8 @@ def _kb2(M, cdt, dz3_ref, h2_ref, h1_ref, w3_ref, b3_ref, w3t_ref, w2_ref,
     h2 = h2_ref[0].astype(cdt)
     _acc_into(dw3_ref, jax.lax.dot_general(
         h2, dy3.astype(cdt), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32))
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT))
     dh2 = _dot(dy3.astype(cdt), w3t_ref[:].astype(cdt), cdt)
     # compare in f32: Mosaic cannot lower cmpf on native bf16 tiles
     dz2 = jnp.where(h2_ref[0].astype(jnp.float32) > 0.0, dh2, 0.0)
@@ -466,7 +467,8 @@ def _kb3(M, cdt, dz2_ref, h1_ref, y1_ref, w2_ref, b2_ref,
     h1 = h1_ref[0].astype(cdt)
     _acc_into(dw2_ref, jax.lax.dot_general(
         h1, dy2.astype(cdt), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32))
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT))
     dh1 = _dot(dy2.astype(cdt), w2t_ref[:].astype(cdt), cdt)
     dz1 = jnp.where(h1_ref[0].astype(jnp.float32) > 0.0, dh1, 0.0)
     dz1_ref[0] = dz1.astype(dz1_ref.dtype)
@@ -496,7 +498,8 @@ def _kb4(M, K, cdt, dz1_ref, idx_ref, y1_ref, s1_ref, mi1_ref,
 
     da_ref[0] += jax.lax.dot_general(
         onehot.astype(cdt), dy1.astype(cdt), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(da_ref.dtype)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT).astype(da_ref.dtype)
     dct_ref[0] = jnp.sum(dy1.reshape(ts, K, c1), axis=1).astype(dct_ref.dtype)
 
 

@@ -29,6 +29,35 @@ class TestStepLR:
         assert sched(39) == pytest.approx(0.01)   # epoch 3
         assert sched(40) == pytest.approx(0.001)  # epoch 4 -> decayed again
 
+    def test_300_epochs_match_live_torch_steplr(self):
+        """Every epoch's LR over a 300-epoch run equals the LIVE torch
+        StepLR under Lightning's stepping convention (scheduler.step() at
+        each train-epoch end, so epoch e trains at gamma^(e // step)).
+        Rules out any late-epoch decay-boundary mismatch as a cause of the
+        M2 ep300 val collapse seen in DRIFT.md (VERDICT r4 #4); covers the
+        reference configs' step/rate pairs (M2/P2B 20/0.1, BAT 12/0.2 —
+        base_model.py:33-35 + cfgs/*.yaml) and the drift benchmark's
+        100/0.2."""
+        torch = pytest.importorskip("torch")
+
+        spe = 7  # steps per epoch (arbitrary, non-divisor of anything)
+        for decay_step, gamma in ((20, 0.1), (12, 0.2), (100, 0.2)):
+            p = torch.nn.Parameter(torch.zeros(1))
+            opt = torch.optim.Adam([p], lr=1e-3)
+            tsched = torch.optim.lr_scheduler.StepLR(
+                opt, step_size=decay_step, gamma=gamma)
+            ours = steplr_schedule(1e-3, steps_per_epoch=spe,
+                                   decay_step=decay_step, decay_rate=gamma)
+            for epoch in range(300):
+                want = opt.param_groups[0]["lr"]
+                for it in (0, spe - 1):  # first and last step of the epoch
+                    got = float(ours(epoch * spe + it))
+                    assert got == pytest.approx(want, rel=1e-12), (
+                        f"step={decay_step} gamma={gamma} epoch={epoch}: "
+                        f"ours={got} torch={want}"
+                    )
+                tsched.step()
+
 
 class TestAdamParity:
     def test_first_step_matches_torch_adam(self):

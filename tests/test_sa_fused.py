@@ -179,3 +179,33 @@ def test_fused_eval_gspmd_sharded_matches_unsharded():
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
         txt = jf.lower(*sharded_args).compile().as_text()
         assert "all-gather" not in txt
+
+
+def test_fused_immune_to_ambient_matmul_precision():
+    """The kernels pin dot precision to DEFAULT explicitly: under an ambient
+    jax.default_matmul_precision("highest") context an UNPINNED bf16-operand
+    tpu.matmul is rejected by Mosaic on real TPU ("Bad lhs type", observed
+    round 5 when a tracker was built inside a highest-precision block), and
+    the kernel's numerics contract is default-precision regardless of the
+    caller. Equality of outputs under both ambient contexts proves the pin
+    is in effect."""
+    from open3dsot_tpu.ops import ball_query
+    from open3dsot_tpu.ops.sa_fused import fused_sa_apply
+
+    rng = np.random.default_rng(6)
+    B, N, S, K, C = 2, 64, 16, 8, 12
+    xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    new_xyz = xyz[:, :S]
+    kw = dict(mlp=[16, 16, 24], radius=0.8, nsample=K, use_fps=False)
+    sa = SetAbstraction(**kw)
+    variables = sa.init(jax.random.PRNGKey(0), xyz, feats, S, train=False)
+    variables = _randomized_bn_vars(variables, rng)
+    mlp_p = variables["params"]["mlp_shared"]
+    mlp_s = variables["batch_stats"]["mlp_shared"]
+    idx = ball_query(0.8, K, xyz, new_xyz)
+    common = dict(radius=0.8, normalize_xyz=False, use_xyz=True)
+    base = fused_sa_apply(xyz, feats, new_xyz, idx, mlp_p, mlp_s, **common)
+    with jax.default_matmul_precision("highest"):
+        hi = fused_sa_apply(xyz, feats, new_xyz, idx, mlp_p, mlp_s, **common)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(hi))
