@@ -185,27 +185,44 @@ def main():
         "whole evaluate_dataset_scan* call timed (padding + dispatch + "
         "scoring + binning), mean of 2 passes after a compile pass.",
         "",
-        "On this remote-TPU setup the pipelined f32 rows are bound by the "
-        "tunnel's ~35 MB/s host-to-device bandwidth (each frame ships "
-        "max_points*3 f32 = 12 KB of padded points; validity crosses as "
-        "per-frame int32 COUNTS — prefix masks, scan_tracker._counts — "
-        "not (T, P) bool arrays, which saved another byte per point); the "
-        "int16 rows halve the point bytes and are the fastest path now "
-        "that the encoder is the single-pass native one "
-        "(native/geomlib.cpp::quantize_per_sample — the earlier numpy "
-        "encoder cost 57 ms/batch of host time and made int16 a net LOSS "
-        "on M2, whose host side is the critical path on this 1-core "
-        "machine). Locally attached TPUs would go substantially faster "
-        "still. The 'warm prep store' rows serve the packed int16 arrays "
-        "from the disk cache (tracking/prep_store.py) — zero dataset "
-        "decode and zero padding on the host.  The serial rows additionally pay the host polygon clip "
-        "per frame and a full pipeline drain per batch.",
+        "The pipelined eval is bound by the SLOWEST of (host padding/decode, "
+        "H2D transfer, device scan), and the three families sit on "
+        "different bounds, so no single variant is fastest everywhere:",
+        "",
+        "- M2's device step is fast (~18.7k frames/s batched), so its e2e "
+        "is TRANSFER/HOST-bound on this tunnel (~35 MB/s H2D; each frame "
+        "ships max_points*3 f32 = 12 KB of padded points; validity crosses "
+        "as per-frame int32 COUNTS, scan_tracker._counts). int16 transfer "
+        "(halved point bytes; single-pass native encoder "
+        "native/geomlib.cpp::quantize_per_sample — the earlier numpy "
+        "encoder cost 57 ms/batch of host time and made int16 a net LOSS) "
+        "and the warm prep store (tracking/prep_store.py: packed arrays "
+        "from disk, zero dataset decode, zero padding) each cut the "
+        "binding stage, so they stack.",
+        "- BAT/P2B matching towers are DEVICE-compute-bound (~5.7-6k "
+        "frames/s batched-scan ceiling, BENCH_DETAILS.md), so transfer/"
+        "host savings buy ~nothing there, and int16's in-jit dequant adds "
+        "work to the BINDING stage — a small net loss. (Round-3's "
+        "'transfer-bound BAT, int16 1.8x faster' predates the round-3/4 "
+        "fused-kernel work, 816 -> ~5.7k frames/s, which moved BAT from "
+        "transfer-bound to compute-bound.)",
+        "",
+        "Locally attached TPUs would go substantially faster still. The "
+        "serial rows additionally pay the host polygon clip per frame and "
+        "a full pipeline drain per batch. The fastest measured variant "
+        "per model is marked **bold**.",
         "",
         "| model | eval loop | frames | s/pass | frames/s |",
         "|---|---|---|---|---|",
     ]
+    best = {}
     for name, label, n, dt, fps, _, _ in rows:
-        out.append(f"| {name} | {label} | {n} | {dt:.2f} | {fps:.1f} |")
+        if fps > best.get(name, (None, 0.0))[1]:
+            best[name] = (label, fps)
+    for name, label, n, dt, fps, _, _ in rows:
+        mark = "**" if best[name][0] == label else ""
+        out.append(f"| {name} | {mark}{label}{mark} | {n} | {dt:.2f} "
+                   f"| {mark}{fps:.1f}{mark} |")
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                         "BENCH_E2E_EVAL.md")
     with open(path, "w") as fh:

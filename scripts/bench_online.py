@@ -53,7 +53,20 @@ def _cases():
         bb_scale=1.25, bb_offset=2.0, train_type="train_siamese",
         syn_num_tracklets=2, syn_tracklet_len=64, seed=7,
     ))
-    return [("m2track", cfg_m2), ("bat", cfg_bat)]
+    cfg_p2b = make_config(dict(
+        dataset="synthetic", net_model="p2b", category_name="Car",
+        template_size=512, search_size=1024, point_sample_size=1024,
+        feature_channel=256, hidden_channel=256, out_channel=256,
+        vote_channel=256, num_proposal=64, k=4, bc_channel=9,
+        box_aware=False, use_fps=True, normalize_xyz=False, degrees=True,
+        use_z=False, limit_box=False, IoU_space=3,
+        model_bb_scale=1.25, model_bb_offset=0.0,
+        search_bb_scale=1.25, search_bb_offset=2.0,
+        shape_aggregation="firstandprevious", reference_BB="previous_result",
+        bb_scale=1.25, bb_offset=2.0, train_type="train_siamese",
+        syn_num_tracklets=2, syn_tracklet_len=64, seed=7,
+    ))
+    return [("m2track", cfg_m2), ("bat", cfg_bat), ("p2b", cfg_p2b)]
 
 
 def _device_step_s(tracker, iters=32):
@@ -92,7 +105,7 @@ def main():
     ap.add_argument("--streams", type=str, default="8,16,32")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--points", type=int, default=1024)
-    ap.add_argument("--models", type=str, default="m2track,bat",
+    ap.add_argument("--models", type=str, default="m2track,bat,p2b",
                     help="comma-separated subset (CPU smoke: m2track only)")
     args = ap.parse_args()
     stream_counts = [int(s) for s in args.streams.split(",")]
