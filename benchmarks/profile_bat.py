@@ -51,9 +51,14 @@ def chain_timed(f, args, iters=20, repeats=3, calibrate=True):
     def make(K):
         def looped(*xs):
             def body(acc, _):
+                # Data-depend every numeric input on the carry so XLA cannot
+                # hoist a loop-invariant f out of the scan (it did: an
+                # all-int8 dot measured 0.000 ms before ints were perturbed).
+                # acc*1e-30 underflows to exactly 0.0 (and casts to int 0),
+                # so the math is unchanged at runtime.
                 perturbed = jax.tree_util.tree_map(
                     lambda a: a + (acc * 1e-30).astype(a.dtype)
-                    if jnp.issubdtype(a.dtype, jnp.floating)
+                    if jnp.issubdtype(a.dtype, jnp.number)
                     else a,
                     xs,
                 )

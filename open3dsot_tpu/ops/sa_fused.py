@@ -39,6 +39,7 @@ train=True (and under autodiff this op is never used).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -93,6 +94,52 @@ def a_form(xyz, features, new_xyz, w1, b1, *, inv_r: float, use_xyz: bool):
     return sum(parts), ct
 
 
+def bf16_byte_planes(a: jnp.ndarray) -> jnp.ndarray:
+    """(..., C) float -> (..., 2C) int8 byte planes [hi | lo] of bf16(a).
+
+    A gather is pure selection, so gathering the two BYTES of the bf16
+    values with an int8 one-hot matmul and reassembling them reproduces the
+    bf16-operand gather BIT-FOR-BIT — at the MXU's int8 rate (~2.5x bf16 on
+    v5e) and with full 128-lane occupancy where C=64 half-fills the array.
+    Measured at the BAT layer-1 gather shape incl. the split+recombine VPU
+    work: 0.338 -> 0.178 ms isolated (scripts/probe_gather_bitplane.py);
+    in-kernel exactness on hardware: scripts/probe_pallas_int8.py. End to
+    end the win is small — search tower 0.79 -> 0.76 ms, same-session A/B
+    via OPEN3DSOT_INT8_GATHER=0/1 on scripts/probe_tower.py — because the
+    eval kernels are VPU-comparison-bound and Mosaic overlaps the gather
+    dot with the one-hot build; kept because it is free (bit-identical,
+    same VMEM footprint: 2*C1 int8 bytes == C1 bf16 bytes).
+    """
+    u16 = jax.lax.bitcast_convert_type(
+        a.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    hi = (u16 >> 8).astype(jnp.uint8)
+    lo = (u16 & 0xFF).astype(jnp.uint8)
+    return jnp.concatenate([hi, lo], axis=-1).astype(jnp.int8)
+
+
+def _gather_rows(onehot, a_ref0, od, c1, i8g):
+    """One-hot row gather: (M, N) 0/1 @ value rows -> (M, c1) f32.
+
+    i8g=True: a_ref0 is (N, 2*c1) int8 byte planes (bf16_byte_planes); ONE
+    int8 MXU dot selects both bytes exactly (each output element IS the
+    selected byte — one-hot rows have a single 1, so no byte addition ever
+    happens) and the bf16 reassembly is bit-identical to the od=bf16 gather.
+    i8g=False: a_ref0 is (N, c1) values and the gather is an od-operand dot
+    (bf16 on TPU, f32 in interpret mode where the golden tests compare).
+    """
+    if i8g:
+        acc = jax.lax.dot_general(
+            onehot.astype(jnp.int8), a_ref0,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT)  # (M, 2*c1) i32
+        hi, lo = acc[:, :c1], acc[:, c1:]
+        bits = (((hi & 0xFF) << 8) | (lo & 0xFF)).astype(jnp.uint16)
+        return jax.lax.bitcast_convert_type(bits, jnp.bfloat16).astype(
+            jnp.float32)
+    return _dot(onehot.astype(od), a_ref0.astype(od), None)
+
+
 def _dot(a, b, cdt):
     # Default MXU precision with f32 accumulation: on TPU this matches the
     # unfused flax path (Dense also runs the MXU at default/bf16 precision
@@ -112,12 +159,13 @@ def _dot(a, b, cdt):
     )
 
 
-def _sa_kernel(K, cdt, od, idx_ref, a_ref, ct_ref, w2_ref, b2_ref, w3_ref,
-               b3_ref, out_ref):
+def _sa_kernel(K, cdt, od, i8g, idx_ref, a_ref, ct_ref, w2_ref, b2_ref,
+               w3_ref, b3_ref, out_ref):
     """One (batch, centroid-tile) program.
 
-    idx_ref (1, 1, Ts, K) i32 | a_ref (1, N, C1) | ct_ref (1, Ts, C1)
-    w2 (C1, C2), b2 (1, C2), w3 (C2, C3), b3 (1, C3) | out_ref (1, Ts, C3).
+    idx_ref (1, 1, Ts, K) i32 | a_ref (1, N, C1) (or (1, N, 2*C1) int8 byte
+    planes when i8g) | ct_ref (1, Ts, C1) | w2 (C1, C2), b2 (1, C2),
+    w3 (C2, C3), b3 (1, C3) | out_ref (1, Ts, C3).
 
     od: operand dtype for the one-hot gather matmul. bf16 on TPU — the
     one-hot side is 0/1 (exact in bf16) and the value side already goes
@@ -125,10 +173,13 @@ def _sa_kernel(K, cdt, od, idx_ref, a_ref, ct_ref, w2_ref, b2_ref, w3_ref,
     an explicit bf16 operand changes nothing numerically while halving the
     VMEM held by the (Ts*K, N) one-hot and the (N, C1) A block. f32 in
     CPU interpret mode, where dots are exact and the golden tests compare.
+    i8g: gather via the exact int8 bit-plane dot instead (see _gather_rows)
+    — bit-identical to the od=bf16 gather, ~2x the MXU rate.
     """
     ts = idx_ref.shape[2]
     tsk = ts * K
-    n, c1 = a_ref.shape[1], a_ref.shape[2]
+    n = a_ref.shape[1]
+    c1 = a_ref.shape[2] // 2 if i8g else a_ref.shape[2]
     # one-hot built in (ts, K, n) then collapsed to (ts*K, n): lane dim (n)
     # stays put, so the shape cast is a pure sublane relayout Mosaic accepts
     # (a (ts*K, 1) index vector is not — "unsupported shape cast").
@@ -138,7 +189,7 @@ def _sa_kernel(K, cdt, od, idx_ref, a_ref, ct_ref, w2_ref, b2_ref, w3_ref,
     onehot = (
         jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2) == idx3[:, :, None]
     ).reshape(tsk, n)
-    g = _dot(onehot.astype(od), a_ref[0].astype(od), cdt)  # (Ts*K, C1) f32
+    g = _gather_rows(onehot, a_ref[0], od, c1, i8g)  # (Ts*K, C1) f32
     h = g.reshape(ts, K, c1) + ct_ref[0][:, None, :]
     h = jnp.maximum(h, 0.0).reshape(tsk, c1).astype(cdt)
     h = jnp.maximum(_dot(h, w2_ref[:].astype(cdt), cdt) + b2_ref[:], 0.0)
@@ -147,8 +198,8 @@ def _sa_kernel(K, cdt, od, idx_ref, a_ref, ct_ref, w2_ref, b2_ref, w3_ref,
     out_ref[0] = jnp.max(h.reshape(ts, K, -1), axis=1).astype(out_ref.dtype)
 
 
-def _sa_bq_kernel(K, cdt, od, r2, xyzt_ref, ctr_ref, a_ref, ct_ref, w2_ref,
-                  b2_ref, w3_ref, b3_ref, out_ref):
+def _sa_bq_kernel(K, cdt, od, i8g, r2, xyzt_ref, ctr_ref, a_ref, ct_ref,
+                  w2_ref, b2_ref, w3_ref, b3_ref, out_ref):
     """SA kernel with the ball query fused in: the one-hot selection matrix
     is built directly from the in-kernel distance matrix via the
     cumulative-count order statistic (no ApproxTopK pass, no idx tensor).
@@ -174,7 +225,8 @@ def _sa_bq_kernel(K, cdt, od, r2, xyzt_ref, ctr_ref, a_ref, ct_ref, w2_ref,
     """
     ts = ctr_ref.shape[1]
     tsk = ts * K
-    n, c1 = a_ref.shape[1], a_ref.shape[2]
+    n = a_ref.shape[1]
+    c1 = a_ref.shape[2] // 2 if i8g else a_ref.shape[2]
     ctr = ctr_ref[0]  # (Ts, 3)
     d2 = jnp.zeros((ts, n), jnp.float32)
     for c in range(3):
@@ -195,7 +247,7 @@ def _sa_bq_kernel(K, cdt, od, r2, xyzt_ref, ctr_ref, a_ref, ct_ref, w2_ref,
     kp1 = (jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1) + 1).astype(
         jnp.float32)  # broadcast INTO the compare, never materialized full
     onehot = (rank[:, None, :] == kp1).reshape(tsk, n)
-    g = _dot(onehot.astype(od), a_ref[0].astype(od), cdt)  # (Ts*K, C1) f32
+    g = _gather_rows(onehot, a_ref[0], od, c1, i8g)  # (Ts*K, C1) f32
     g = g.reshape(ts, K, c1)
     # overflow slots (k+1 > count) repeat slot 0 = the first in-ball point
     slot_real = kp1[0, :, 0][None, :, None] <= count[:, :, None]  # (Ts, K, 1)
@@ -222,6 +274,7 @@ def fused_sa_apply(
     nsample: Optional[int] = None,
     dtype: Any = None,
     interpret: Optional[bool] = None,
+    int8_gather: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fused eval-mode SA: xyz (B,N,3), features (B,N,C) or None,
     new_xyz (B,S,3) centers -> (B, S, C3) max-pooled MLP features (same
@@ -233,6 +286,12 @@ def fused_sa_apply(
 
     mlp_params/mlp_stats: the 'mlp_shared' subtrees of a SetAbstraction
     (3 DenseBNRelu layers).
+
+    int8_gather: run the one-hot gather as the exact int8 bit-plane dot
+    (bf16_byte_planes / _gather_rows) — bit-identical to the bf16-operand
+    gather, ~2x its MXU rate. Default (None): on whenever the kernel
+    actually compiles (not interpret); interpret-mode golden tests keep the
+    exact-f32 gather unless they force int8_gather=True.
     """
     cdt = jnp.dtype(dtype) if dtype is not None else jnp.float32
     if interpret is None:
@@ -256,9 +315,20 @@ def fused_sa_apply(
     c1, c3 = w1.shape[1], w3.shape[1]
 
     inv_r = (1.0 / radius) if normalize_xyz else 1.0
+    if int8_gather is None:
+        # OPEN3DSOT_INT8_GATHER=0/1 overrides the default for A/B probing
+        # (scripts/probe_tower.py) — the two paths are bit-identical, so
+        # the switch is a pure perf knob, never a numerics one.
+        env = os.environ.get("OPEN3DSOT_INT8_GATHER", "")
+        i8g = (env != "0") if env else (not interpret)
+    else:
+        i8g = bool(int8_gather)
     a, ct = a_form(xyz, features, new_xyz, w1, b1, inv_r=inv_r,
                    use_xyz=use_xyz)  # (B, N, C1) float32
-    a = a.astype(od)  # gather operand: halved VMEM block + HBM read on TPU
+    # gather operand: int8 byte planes (bit-identical to the bf16 gather,
+    # ~2x MXU rate) or the od cast (halved VMEM block + HBM read on TPU)
+    a = bf16_byte_planes(a) if i8g else a.astype(od)
+    ac = a.shape[2]  # c1, or 2*c1 int8 planes
 
     ts = min(S, 64 if cdt != jnp.float32 else 32)
     s_pad = -(-S // ts) * ts
@@ -267,7 +337,7 @@ def fused_sa_apply(
     n_tiles = s_pad // ts
 
     common_specs = [
-        pl.BlockSpec((1, N, c1), lambda b, s: (b, 0, 0),
+        pl.BlockSpec((1, N, ac), lambda b, s: (b, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, ts, c1), lambda b, s: (b, s, 0),
                      memory_space=pltpu.VMEM),
@@ -305,7 +375,8 @@ def fused_sa_apply(
             # per-shard lowering under GSPMD: B comes from the input shape
             B_l = xyzt.shape[0]
             return pl.pallas_call(
-                lambda *refs: _sa_bq_kernel(K, cdt, od, radius * radius, *refs),
+                lambda *refs: _sa_bq_kernel(K, cdt, od, i8g,
+                                            radius * radius, *refs),
                 out_shape=jax.ShapeDtypeStruct((B_l, s_pad, c3), cdt),
                 grid=(B_l, n_tiles),
                 in_specs=[
@@ -335,7 +406,7 @@ def fused_sa_apply(
     def idx_call(idx_flat, a, ct, w2, b2, w3, b3):
         B_l = idx_flat.shape[0]
         return pl.pallas_call(
-            lambda *refs: _sa_kernel(K, cdt, od, *refs),
+            lambda *refs: _sa_kernel(K, cdt, od, i8g, *refs),
             out_shape=jax.ShapeDtypeStruct((B_l, s_pad, c3), cdt),
             grid=(B_l, n_tiles),
             in_specs=[

@@ -168,17 +168,85 @@ def test_fused_eval_gspmd_sharded_matches_unsharded():
         return fused_sa_apply(xyz, feats, new_xyz, None, mlp_p, mlp_s,
                               nsample=K, **common)
 
+    def f_idx_i8(xyz, feats, new_xyz):
+        idx = ball_query(0.8, K, xyz, new_xyz)
+        return fused_sa_apply(xyz, feats, new_xyz, idx, mlp_p, mlp_s,
+                              int8_gather=True, **common)
+
     mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
     sh = NamedSharding(mesh, P("data"))
     args = (xyz, feats, new_xyz)
     sharded_args = tuple(jax.device_put(x, sh) for x in args)
-    for f in (f_idx, f_bq):
+    for f in (f_idx, f_bq, f_idx_i8):
         ref = jax.jit(f)(*args)
         jf = jax.jit(f, in_shardings=(sh, sh, sh), out_shardings=sh)
         out = jf(*sharded_args)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
         txt = jf.lower(*sharded_args).compile().as_text()
         assert "all-gather" not in txt
+
+
+def test_int8_bitplane_gather_bit_equals_bf16_gather():
+    """The int8 bit-plane gather (ops/sa_fused.py::_gather_rows with
+    i8g=True) must reproduce the bf16-operand one-hot gather BIT-FOR-BIT:
+    a gather is pure selection, so selecting the two bytes of each bf16
+    value with an exact int8 dot and reassembling them is the same
+    function. This is the exactness contract that lets the TPU kernels
+    default to the int8 path with no numerics change."""
+    from open3dsot_tpu.ops.sa_fused import _gather_rows, bf16_byte_planes
+
+    rng = np.random.default_rng(5)
+    M, N, C1 = 96, 64, 24
+    idx = rng.integers(0, N, size=(M,))
+    onehot = jnp.asarray(idx[:, None] == np.arange(N)[None, :])
+    a = jnp.asarray(rng.standard_normal((N, C1)) * 100, jnp.float32)
+
+    via_bf16 = _gather_rows(onehot, a.astype(jnp.bfloat16), jnp.bfloat16,
+                            C1, False)
+    via_int8 = _gather_rows(onehot, bf16_byte_planes(a), jnp.bfloat16,
+                            C1, True)
+    np.testing.assert_array_equal(np.asarray(via_int8), np.asarray(via_bf16))
+    # and both ARE the selected bf16 rows
+    want = np.asarray(a.astype(jnp.bfloat16), np.float32)[idx]
+    np.testing.assert_array_equal(np.asarray(via_int8), want)
+
+
+@pytest.mark.parametrize("fuse_bq", [False, True])
+def test_int8_gather_kernel_no_worse_than_bf16_unfused(fuse_bq):
+    """int8_gather=True only quantizes the GATHERED A rows to bf16 (the
+    same cast the TPU od=bf16 path already applies), so its deviation from
+    the f32 golden must stay within the all-bf16 unfused path's deviation
+    envelope — both kernel variants."""
+    from open3dsot_tpu.ops import ball_query
+    from open3dsot_tpu.ops.sa_fused import fused_sa_apply
+
+    rng = np.random.default_rng(8)
+    B, N, S, K, C = 2, 64, 16, 8, 12
+    xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    new_xyz = xyz[:, :S]
+    kw = dict(mlp=[16, 16, 24], radius=0.8, nsample=K, use_fps=False)
+    sa = SetAbstraction(**kw)
+    variables = sa.init(jax.random.PRNGKey(0), xyz, feats, S, train=False)
+    variables = _randomized_bn_vars(variables, rng)
+    mlp_p = variables["params"]["mlp_shared"]
+    mlp_s = variables["batch_stats"]["mlp_shared"]
+    idx = None if fuse_bq else ball_query(0.8, K, xyz, new_xyz)
+    common = dict(radius=0.8, normalize_xyz=False, use_xyz=True,
+                  nsample=K if fuse_bq else None)
+    truth = fused_sa_apply(xyz, feats, new_xyz, idx, mlp_p, mlp_s, **common)
+    got = fused_sa_apply(xyz, feats, new_xyz, idx, mlp_p, mlp_s,
+                         int8_gather=True, **common)
+    _, bf16_unfused, _ = SetAbstraction(dtype=jnp.bfloat16, **kw).apply(
+        variables, xyz, feats, S, train=False)
+
+    truth = np.asarray(truth, np.float32)
+
+    def mean_rel(x):
+        x = np.asarray(x, np.float32)
+        return np.mean(np.abs(x - truth) / np.maximum(np.abs(truth), 1.0))
+
+    assert mean_rel(got) < 1.5 * mean_rel(bf16_unfused) + 1e-4
 
 
 def test_fused_immune_to_ambient_matmul_precision():
