@@ -228,10 +228,9 @@ def main():
         )
         t = chain_timed(step, (state, batch), iters=50)
         try:
-            from open3dsot_tpu.ops.flops import record_pallas_flops
+            from open3dsot_tpu.ops.flops import lower_recording
 
-            with record_pallas_flops() as rec:
-                lowered = step.lower(state, batch)
+            lowered, rec = lower_recording(step, state, batch)
             fl = float(lowered.compile().cost_analysis()["flops"])
             fl += rec["flops"]  # Pallas custom calls: closed-form dot count
             tag = " (incl. Pallas)" if rec["calls"] else ""

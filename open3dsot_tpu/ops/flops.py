@@ -46,6 +46,30 @@ def record_pallas_flops() -> Iterator[dict]:
         _REC.reset(token)
 
 
+def lower_recording(jitted, *args, **kwargs):
+    """Lower `jitted` with Pallas-FLOP recording GUARANTEED to fire.
+
+    `jit.lower()` reuses the jit trace cache: after ANY prior call with the
+    same arg shapes (including being traced inside another jit, e.g. a
+    timing scan), the Python body — and its trace-time add_pallas_flops
+    calls — is skipped, and a surrounding record_pallas_flops() scope
+    records zero. That silently turned every round-4 'true TFLOP/s' row
+    back into the XLA-only count this module exists to fix (the benchmark
+    scripts time first, lower second). clear_cache() forces a fresh trace;
+    the executable re-compile behind `.compile()` still hits the persistent
+    XLA cache (same HLO).
+
+    Returns (lowered, rec) where rec is the {'flops', 'calls'} dict.
+    """
+    with record_pallas_flops() as rec:
+        try:
+            jitted.clear_cache()
+        except AttributeError:
+            pass
+        lowered = jitted.lower(*args, **kwargs)
+    return lowered, rec
+
+
 def add_pallas_flops(flops: float) -> None:
     """Called by the fused apply functions at trace time; no-op unless a
     record_pallas_flops() scope is active."""

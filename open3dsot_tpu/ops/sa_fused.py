@@ -117,6 +117,19 @@ def bf16_byte_planes(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([hi, lo], axis=-1).astype(jnp.int8)
 
 
+def int8_gather_default(interpret: bool) -> bool:
+    """Default for the int8 bit-plane gather: on whenever the kernel
+    actually compiles (the substitution is bit-identical there — see
+    bf16_byte_planes); off in interpret mode, where the golden tests
+    compare against exact-f32 dots. OPEN3DSOT_INT8_GATHER=0/1 overrides
+    for A/B probing (scripts/probe_tower.py) — a pure perf knob, never a
+    numerics one."""
+    env = os.environ.get("OPEN3DSOT_INT8_GATHER", "")
+    if env:
+        return env != "0"
+    return not interpret
+
+
 def _gather_rows(onehot, a_ref0, od, c1, i8g):
     """One-hot row gather: (M, N) 0/1 @ value rows -> (M, c1) f32.
 
@@ -315,14 +328,8 @@ def fused_sa_apply(
     c1, c3 = w1.shape[1], w3.shape[1]
 
     inv_r = (1.0 / radius) if normalize_xyz else 1.0
-    if int8_gather is None:
-        # OPEN3DSOT_INT8_GATHER=0/1 overrides the default for A/B probing
-        # (scripts/probe_tower.py) — the two paths are bit-identical, so
-        # the switch is a pure perf knob, never a numerics one.
-        env = os.environ.get("OPEN3DSOT_INT8_GATHER", "")
-        i8g = (env != "0") if env else (not interpret)
-    else:
-        i8g = bool(int8_gather)
+    i8g = (int8_gather_default(interpret) if int8_gather is None
+           else bool(int8_gather))
     a, ct = a_form(xyz, features, new_xyz, w1, b1, inv_r=inv_r,
                    use_xyz=use_xyz)  # (B, N, C1) float32
     # gather operand: int8 byte planes (bit-identical to the bf16 gather,

@@ -83,7 +83,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from open3dsot_tpu.ops.sa_fused import _BN_EPS, _dot, a_form
+from open3dsot_tpu.ops.sa_fused import (
+    _BN_EPS,
+    _dot,
+    _gather_rows,
+    a_form,
+    bf16_byte_planes,
+    int8_gather_default,
+)
 
 
 class _SACfg(NamedTuple):
@@ -99,6 +106,12 @@ class _SACfg(NamedTuple):
     cdt: str          # compute dtype name ('float32' / 'bfloat16')
     interpret: bool
     impl: str         # 'ref' | 'pallas'
+    # F1's one-hot gather as the exact int8 bit-plane dot (sa_fused.py::
+    # _gather_rows) — on TPU this is bit-identical to the shipped gather
+    # (DEFAULT-precision dots run one bf16 MXU pass for f32 operands too),
+    # at the int8 MXU rate. B4's scatter-add CANNOT use it: onehot^T @ dy1
+    # SUMS selected rows, and byte-wise sums carry.
+    i8g: bool = False
 
 
 # --------------------------------------------------------------------------
@@ -268,6 +281,7 @@ def fused_sa_train_apply(
     dtype: Any = None,
     interpret: Optional[bool] = None,
     impl: str = "pallas",
+    int8_gather: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Fused training-mode SA layer.
 
@@ -278,9 +292,16 @@ def fused_sa_train_apply(
     Returns (out (B,S,C3), stats {'layer{i}': (batch_mean, batch_var)}).
     Differentiable wrt mlp_params / features / xyz / new_xyz; the stats
     outputs carry no gradient (they feed the running-statistics update).
+
+    int8_gather: F1's one-hot gather as the exact int8 bit-plane dot (see
+    _SACfg.i8g). Default (None): on whenever the kernels actually compile
+    (sa_fused.py::int8_gather_default); golden interpret tests keep exact
+    f32 gathers.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    i8g = (int8_gather_default(interpret) if int8_gather is None
+           else bool(int8_gather))
     cdt = jnp.dtype(dtype if dtype is not None else jnp.float32)
     B, N, _ = xyz.shape
     S, K = idx.shape[1], idx.shape[2]
@@ -305,7 +326,7 @@ def fused_sa_train_apply(
 
     cfg = _SACfg(B=B, N=N, S=S, K=K, C1=w1.shape[1], C2=w2.shape[1],
                  C3=w3.shape[1], cdt=cdt.name, interpret=bool(interpret),
-                 impl=impl)
+                 impl=impl, i8g=i8g and impl == "pallas")
     out, stats = _core(cfg, a, ct, w2, b2, w3, b3, g1, bt1, g2, bt2, g3,
                        bt3, idx.astype(jnp.int32))
     mu1, v1, mu2, v2, mu3, v3 = stats
@@ -337,15 +358,19 @@ def _tile_size(cfg) -> int:
     return ts
 
 
-def _y1_tile(idx_ref, a_ref, ct_ref, cdt):
-    """Recompute the layer-1 pre-BN tile: y1 = onehot @ a + ct, (tsk, C1) f32."""
+def _y1_tile(idx_ref, a_ref, ct_ref, cdt, i8g=False):
+    """Recompute the layer-1 pre-BN tile: y1 = onehot @ a + ct, (tsk, C1) f32.
+
+    i8g: a_ref holds (1, N, 2*C1) int8 byte planes and the gather runs as
+    the exact bit-plane dot (sa_fused.py::_gather_rows)."""
     ts, K = idx_ref.shape[2], idx_ref.shape[3]
-    n, c1 = a_ref.shape[1], a_ref.shape[2]
+    n = a_ref.shape[1]
+    c1 = a_ref.shape[2] // 2 if i8g else a_ref.shape[2]
     idx2 = idx_ref[0, 0]  # (ts, K)
     onehot = (
         jax.lax.broadcasted_iota(jnp.int32, (ts, K, n), 2) == idx2[:, :, None]
     ).reshape(ts * K, n)
-    g = _dot(onehot.astype(cdt), a_ref[0].astype(cdt), cdt)  # (tsk, c1) f32
+    g = _gather_rows(onehot, a_ref[0], cdt, c1, i8g)  # (tsk, c1) f32
     y1 = g.reshape(ts, K, c1) + ct_ref[0][:, None, :]
     return y1.reshape(ts * K, c1)
 
@@ -379,11 +404,11 @@ def _sums2(x, yh=None):
          jnp.sum(other, axis=0, keepdims=True)], axis=0)
 
 
-def _kf1(cdt, idx_ref, a_ref, ct_ref, y1_ref, acc_ref):
+def _kf1(cdt, i8g, idx_ref, a_ref, ct_ref, y1_ref, acc_ref):
     """Stats pass; also CACHES the y1 grid (f32) so F2/B3/B4 skip the
     one-hot re-gather (VERDICT r2 item 8: ~3 extra (tsk,N)@(N,C1) matmuls
     per layer traded for one HBM round trip of the grid)."""
-    y1 = _y1_tile(idx_ref, a_ref, ct_ref, cdt)
+    y1 = _y1_tile(idx_ref, a_ref, ct_ref, cdt, i8g)
     y1_ref[0] = y1.astype(y1_ref.dtype)
     _acc_into(acc_ref, _sums2(y1))
 
@@ -568,19 +593,29 @@ def _pallas_fwd(cfg, a, ct, w2, b2, w3, b3, g1, bt1, g2, bt2, g3, bt3, idx):
         add_pallas_flops(sa_train_fwd_flops(cfg.B, S, K, cfg.N, c1, c2, c3))
     b2r, b3r = b2[None, :], b3[None, :]
 
-    def f1(idx_flat, a, ct):
+    i8g = cfg.i8g
+    if i8g:
+        # F1's gather operand as int8 byte planes — bit-identical selection
+        # at the int8 MXU rate (see _SACfg.i8g); same HBM/VMEM bytes.
+        a_in = bf16_byte_planes(a)
+        a_spec = pl.BlockSpec((1, cfg.N, 2 * c1), lambda b, s: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        a_in, a_spec = a, sp["a"]
+
+    def f1(idx_flat, a_in, ct):
         B = idx_flat.shape[0]
         return pl.pallas_call(
-            functools.partial(_kf1, cdt),
+            functools.partial(_kf1, cdt, i8g),
             out_shape=[jax.ShapeDtypeStruct((B, S * K, c1), jnp.float32),
                        jax.ShapeDtypeStruct((2, c1), jnp.float32)],
             grid=(B, n_tiles),
-            in_specs=[sp["idx"], sp["a"], sp["ct"]],
+            in_specs=[sp["idx"], a_spec, sp["ct"]],
             out_specs=[sp["tiled"](c1), sp["const"]((2, c1))],
             interpret=interp,
-        )(idx_flat, a, ct)
+        )(idx_flat, a_in, ct)
 
-    y1, acc1 = _ppart(f1, (idx_flat, a, ct), batched=(0, 1, 2),
+    y1, acc1 = _ppart(f1, (idx_flat, a_in, ct), batched=(0, 1, 2),
                       out_batched=(True, False))
     mu1 = acc1[0] / M
     v1 = acc1[1] / M - mu1 * mu1

@@ -58,7 +58,7 @@ M2_BASE = dict(
 def measure(model_name: str, B: int, fused: bool):
     from open3dsot_tpu.config import make_config
     from open3dsot_tpu.models import get_model
-    from open3dsot_tpu.ops.flops import record_pallas_flops
+    from open3dsot_tpu.ops.flops import lower_recording
     from open3dsot_tpu.train.optim import make_optimizer
     from open3dsot_tpu.train.trainer import create_train_state, make_train_step
 
@@ -81,8 +81,10 @@ def measure(model_name: str, B: int, fused: bool):
         model.dummy_batch(B),
     )
     t = chain_timed(step, (state, batch), iters=30)
-    with record_pallas_flops() as rec:
-        lowered = step.lower(state, batch)
+    # lower_recording, NOT step.lower: after chain_timed the trace cache is
+    # warm and a plain lower() skips tracing, so the Pallas recorder counts
+    # zero and the row silently reverts to the XLA-only FLOPs.
+    lowered, rec = lower_recording(step, state, batch)
     fl = float(lowered.compile().cost_analysis()["flops"]) + rec["flops"]
     return t, B / t, fl / t / 1e12, fl
 

@@ -46,6 +46,33 @@ def test_closed_forms_are_dot_counts():
         2 * rows * (N * c1 + 4 * c1 * c2 + 4 * c2 * c3))
 
 
+def test_lower_recording_survives_warm_trace_cache():
+    """jit.lower() after a prior same-shape call is a trace-cache HIT — the
+    body (and its trace-time add_pallas_flops) is skipped, so a plain
+    record_pallas_flops()-around-lower() records ZERO. This silently turned
+    every round-4 'true TFLOP/s' benchmark row back into the XLA-only count.
+    lower_recording() must clear the cache and re-trace so recording fires
+    even after the function has been called/timed."""
+    from open3dsot_tpu.ops.flops import lower_recording
+
+    @jax.jit
+    def f(x):
+        add_pallas_flops(11.0)
+        return x * 2
+
+    x = jnp.ones((4,))
+    f(x)  # warm the trace cache, exactly like a timing loop does
+
+    # the failure mode this guards against: plain lower records nothing
+    with record_pallas_flops() as naive:
+        f.lower(x)
+    assert naive["calls"] == 0
+
+    lowered, rec = lower_recording(f, x)
+    assert rec == {"flops": 11.0, "calls": 1}
+    assert lowered.compile() is not None
+
+
 @pytest.mark.parametrize("fuse_bq", [False, True])
 def test_eval_kernel_records_at_trace_time(fuse_bq):
     from open3dsot_tpu.ops.neighbors import ball_query

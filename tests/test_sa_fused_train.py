@@ -299,3 +299,71 @@ def test_fused_train_gspmd_sharded_matches_unsharded():
     for a, b in zip(jax.tree_util.tree_leaves(ref_g),
                     jax.tree_util.tree_leaves(s_g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_int8_gather_f1_bit_equals_bf16_truncated_a():
+    """The train F1 int8 bit-plane gather (_SACfg.i8g) must produce the
+    BIT-IDENTICAL y1 grid to the i8g=False pipeline fed a bf16-truncated
+    `a`: the gather selects bf16(a) rows either way (the exactness
+    argument — see sa_fused.py::bf16_byte_planes). Downstream (stats,
+    folds, MLP passes, custom-VJP grads incl. the B4 scatter, which never
+    touches `a`) consumes only that identical y1, so outputs/stats/grads
+    must agree to XLA reassociation noise (the two programs' f32 stat
+    reductions fuse differently; measured ~3e-5 abs on these scales).
+    Compared at the _core/_pallas_fwd level in interpret mode, where the
+    i8g=False dots are exact f32 and the only difference left is the
+    truncation itself."""
+    from open3dsot_tpu.ops import sa_fused_train as ft
+
+    B, N, S, K = 2, 64, 16, 8
+    c1, c2, c3 = 8, 8, 16
+    rng = np.random.default_rng(11)
+
+    def arr(*s):
+        return jnp.asarray(rng.standard_normal(s) * 3, jnp.float32)
+
+    a, ct = arr(B, N, c1), arr(B, S, c1)
+    w2, b2, w3, b3 = arr(c1, c2), arr(c2), arr(c2, c3), arr(c3)
+    g1, bt1 = arr(c1) * 0.1 + 1.0, arr(c1) * 0.1
+    g2, bt2 = arr(c2) * 0.1 + 1.0, arr(c2) * 0.1
+    g3, bt3 = arr(c3) * 0.1 + 1.0, arr(c3) * 0.1
+    idx = jnp.asarray(rng.integers(0, N, (B, S, K)), jnp.int32)
+    cot = arr(B, S, c3)
+
+    def run(i8g, a_in):
+        cfg = ft._SACfg(B=B, N=N, S=S, K=K, C1=c1, C2=c2, C3=c3,
+                        cdt="float32", interpret=True, impl="pallas",
+                        i8g=i8g)
+
+        def loss(a_in, ct, w2, b2, w3, b3):
+            out, stats = ft._core(cfg, a_in, ct, w2, b2, w3, b3,
+                                  g1, bt1, g2, bt2, g3, bt3, idx)
+            return jnp.sum(out * cot), (out, stats)
+
+        (_, aux), grads = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 4), has_aux=True)(a_in, ct, w2, b2,
+                                                      w3, b3)
+        return aux, grads
+
+    a_tr = a.astype(jnp.bfloat16).astype(jnp.float32)
+
+    # the hard contract: bit-identical y1 grids out of F1
+    def cfg_of(i8g):
+        return ft._SACfg(B=B, N=N, S=S, K=K, C1=c1, C2=c2, C3=c3,
+                         cdt="float32", interpret=True, impl="pallas",
+                         i8g=i8g)
+
+    args = (ct, w2, b2, w3, b3, g1, bt1, g2, bt2, g3, bt3, idx)
+    _, _, grids8 = ft._pallas_fwd(cfg_of(True), a, *args)
+    _, _, gridsf = ft._pallas_fwd(cfg_of(False), a_tr, *args)
+    np.testing.assert_array_equal(np.asarray(grids8[0]),
+                                  np.asarray(gridsf[0]))
+
+    (out8, st8), g8 = run(True, a)
+    (outf, stf), gf = run(False, a_tr)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(outf),
+                               rtol=1e-5, atol=2e-4)
+    for x, y in zip(jax.tree_util.tree_leaves((st8, g8)),
+                    jax.tree_util.tree_leaves((stf, gf))):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=2e-4)
