@@ -198,14 +198,19 @@ def main():
         "encoder cost 57 ms/batch of host time and made int16 a net LOSS) "
         "and the warm prep store (tracking/prep_store.py: packed arrays "
         "from disk, zero dataset decode, zero padding) each cut the "
-        "binding stage, so they stack.",
-        "- BAT/P2B matching towers are DEVICE-compute-bound (~5.7-6k "
+        "binding stage; their individual wins are larger than the gap "
+        "between them, so which of int16 / int16+store lands first can "
+        "swap with the tunnel's run-to-run jitter (both stacked cleanly "
+        "in the round-4 pass).",
+        "- BAT/P2B matching towers are DEVICE-compute-bound (~5.2-6.2k "
         "frames/s batched-scan ceiling, BENCH_DETAILS.md), so transfer/"
-        "host savings buy ~nothing there, and int16's in-jit dequant adds "
-        "work to the BINDING stage — a small net loss. (Round-3's "
-        "'transfer-bound BAT, int16 1.8x faster' predates the round-3/4 "
-        "fused-kernel work, 816 -> ~5.7k frames/s, which moved BAT from "
-        "transfer-bound to compute-bound.)",
+        "host savings are worth at most a few percent there: int16's "
+        "in-jit dequant adds work to the binding stage, leaving "
+        "small run-dependent deltas in either direction rather than "
+        "M2-sized wins. (Round-3's 'transfer-bound BAT, int16 1.8x "
+        "faster' predates the round-3/4/5 fused-kernel work, 816 -> "
+        "~5.8-6.2k frames/s, which moved BAT from transfer-bound to "
+        "compute-bound.)",
         "",
         "Locally attached TPUs would go substantially faster still. The "
         "serial rows additionally pay the host polygon clip per frame and "
